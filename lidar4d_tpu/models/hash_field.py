@@ -1,0 +1,121 @@
+"""4D decomposed hash encoder: static 3D grid + time-indexed 2D plane grids.
+
+TPU-native re-design of the reference's `HashGrid4D` / `HashGridT`
+(`model/hash_field.py:30-172`):
+
+* the static xyz field is one multiresolution 3D hash grid;
+* the dynamic field is three plane grids (xy·t, xz·t, yz·t); each plane owns
+  `time_resolution` 2D hash grids whose tables are **stacked into one
+  parameter array** so a traced time index selects the grid (no Python
+  branching on t — one compiled graph covers all frames);
+* lookups at time t linearly blend grids floor(idx)/ceil(idx)
+  (hash_field.py:79-85) and then apply the Lagrange-basis feature
+  interpolation "interpT" over num_basis feature chunks (hash_field.py:65-74).
+
+Output dims with defaults: static 8x4 = 32, dynamic 3 x (8x4/4) = 24.
+"""
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from lidar4d_tpu.ops.hash_enc import (
+    HashEncoderSpec,
+    hash_encode,
+    init_hash_table,
+    lagrange_time_interp,
+)
+
+_PLANE_SELS = ((0, 1), (0, 2), (1, 2))  # xy, xz, yz
+
+
+@dataclass(frozen=True)
+class HashGrid4D:
+    base_resolution: int = 512
+    max_resolution: int = 32768
+    time_resolution: int = 8
+    n_levels: int = 8
+    n_features_per_level: int = 4
+    log2_hashmap_size: int = 19
+    hash_size_dynamic: tuple = (15, 13, 13)  # xy gets the larger table
+    num_basis: int = 4
+
+    @property
+    def static_spec(self) -> HashEncoderSpec:
+        return HashEncoderSpec(
+            n_dims=3,
+            n_levels=self.n_levels,
+            n_features=self.n_features_per_level,
+            log2_hashmap_size=self.log2_hashmap_size,
+            base_resolution=self.base_resolution,
+            max_resolution=self.max_resolution,
+        )
+
+    def dynamic_spec(self, plane: int) -> HashEncoderSpec:
+        return HashEncoderSpec(
+            n_dims=2,
+            n_levels=self.n_levels,
+            n_features=self.n_features_per_level,
+            log2_hashmap_size=self.hash_size_dynamic[plane],
+            base_resolution=self.base_resolution,
+            max_resolution=self.max_resolution,
+        )
+
+    @property
+    def n_output_dims_static(self) -> int:
+        return self.n_levels * self.n_features_per_level
+
+    @property
+    def n_output_dims_dynamic(self) -> int:
+        return 3 * (self.n_levels * self.n_features_per_level // self.num_basis)
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.n_output_dims_static + self.n_output_dims_dynamic
+
+    def init(self, key):
+        ks = jax.random.split(key, 4)
+        params = {"static": init_hash_table(ks[0], self.static_spec)}
+        for p in range(3):
+            params[f"dynamic_{p}"] = init_hash_table(
+                ks[1 + p], self.dynamic_spec(p), n_grids=self.time_resolution
+            )
+        return params
+
+    def forward_static(self, params, x):
+        """x: [N, 3] in [0, 1] -> [N, L*F]."""
+        return hash_encode(self.static_spec, params["static"], x)
+
+    def forward_dynamic(self, params, x, t):
+        """x: [N, 3] in [0, 1], t: traced scalar in [0, 1] -> [N, 3*L*F/B].
+
+        Parity with HashGridT.forward (hash_field.py:76-88): blend the two
+        adjacent time grids, then Lagrange-interp feature chunks at t.
+        Out-of-range t (from neighbor-frame queries at the sequence ends) is
+        clamped at the grid-index level; the caller discards those branches.
+        """
+        t = jnp.asarray(t, jnp.float32)
+        idx = jnp.clip(t, 0.0, 1.0) * (self.time_resolution - 1)
+        i1 = jnp.clip(jnp.floor(idx).astype(jnp.int32), 0, self.time_resolution - 1)
+        i2 = jnp.clip(i1 + 1, 0, self.time_resolution - 1)
+        w2 = idx - i1.astype(jnp.float32)
+
+        x = jnp.clip(x, 0.0, 1.0)
+        feats = []
+        for p, sel in enumerate(_PLANE_SELS):
+            spec = self.dynamic_spec(p)
+            table = params[f"dynamic_{p}"]
+            xy = x[:, sel]
+            g1 = hash_encode(spec, table, xy, row_offset=i1 * spec.n_rows)
+            g2 = hash_encode(spec, table, xy, row_offset=i2 * spec.n_rows)
+            g = (1.0 - w2) * g1 + w2 * g2
+            feats.append(
+                lagrange_time_interp(
+                    g, t, self.n_levels, self.n_features_per_level, self.num_basis
+                )
+            )
+        return jnp.concatenate(feats, axis=-1)
+
+    def __call__(self, params, x, t):
+        return self.forward_static(params, x), self.forward_dynamic(params, x, t)

@@ -1,0 +1,243 @@
+"""LiDAR4D composed neural field: 4D hash + planes + flow + MLP heads.
+
+TPU-native re-design of the reference's `LiDAR4D` model
+(`model/lidar4d.py:22-237`). Differences from the CUDA original are purely
+architectural-idiomatic, the math is preserved:
+
+* one pure function per query (`density`, `attribute`, `flow`) over an
+  explicit parameter pytree — jit/vmap/shard_map compose directly;
+* the per-frame Python conditionals around temporal neighbors
+  (lidar4d.py:157-173) become `jnp.where` masks on a traced frame index, so a
+  single compiled graph serves every time step;
+* tiny-cuda-nn FullyFusedMLPs become bias-free bf16 matmul chains (MXU);
+* the no_grad on warped hash lookups (lidar4d.py:160,169) becomes
+  `lax.stop_gradient`;
+* the frequency view encoding (tcnn "Frequency", degree 12,
+  lidar4d.py:68-74) is inlined sin/cos.
+
+Temporal aggregation: dynamic features at t are fused with flow-warped
+neighbor features at t±1 with weights 0.5/0.25/0.25 (lidar4d.py:175-176).
+"""
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from lidar4d_tpu.models.flow_field import FlowField
+from lidar4d_tpu.models.hash_field import HashGrid4D
+from lidar4d_tpu.models.planes_field import Planes4D
+from lidar4d_tpu.models.unet import UNet
+from lidar4d_tpu.ops.mlp import apply_mlp, init_mlp
+from lidar4d_tpu.ops.trunc_exp import trunc_exp
+
+
+def frequency_encode(x, degree=12):
+    """tcnn 'Frequency' encoding: sin/cos of 2^k * pi * x per dim -> [N, d*degree*2]."""
+    outs = []
+    for k in range(degree):
+        s = (2.0 ** k) * jnp.pi
+        outs.append(jnp.sin(s * x))
+        outs.append(jnp.cos(s * x))
+    return jnp.concatenate(outs, axis=-1)
+
+
+@dataclass(frozen=True)
+class LiDAR4DConfig:
+    min_resolution: int = 32
+    base_resolution: int = 512
+    max_resolution: int = 32768
+    time_resolution: int = 8
+    n_levels_plane: int = 4
+    n_features_per_level_plane: int = 8
+    n_levels_hash: int = 8
+    n_features_per_level_hash: int = 4
+    log2_hashmap_size: int = 19
+    num_layers_flow: int = 3
+    hidden_dim_flow: int = 64
+    num_layers_sigma: int = 2
+    hidden_dim_sigma: int = 64
+    geo_feat_dim: int = 15
+    num_layers_lidar: int = 3
+    hidden_dim_lidar: int = 64
+    out_lidar_dim: int = 2
+    num_frames: int = 51
+    bound: float = 1.0
+    view_degree: int = 12
+    # renderer knobs (LiDAR_Renderer ctor, renderer.py:13-32)
+    near_lidar: float = 0.01
+    far_lidar: float = 0.81
+    density_scale: float = 1.0
+    active_sensor: bool = False
+    flow_warp: bool = True  # temporal neighbor aggregation on/off
+
+
+@dataclass(frozen=True)
+class LiDAR4DField:
+    cfg: LiDAR4DConfig = LiDAR4DConfig()
+
+    @property
+    def planes_encoder(self) -> Planes4D:
+        c = self.cfg
+        return Planes4D(
+            output_dim=c.n_features_per_level_plane,
+            resolution=(c.min_resolution,) * 3 + (c.time_resolution,),
+            multiscale_res=tuple(2 ** n for n in range(c.n_levels_plane)),
+        )
+
+    @property
+    def hash_encoder(self) -> HashGrid4D:
+        c = self.cfg
+        return HashGrid4D(
+            base_resolution=c.base_resolution,
+            max_resolution=c.max_resolution,
+            time_resolution=c.time_resolution,
+            n_levels=c.n_levels_hash,
+            n_features_per_level=c.n_features_per_level_hash,
+            log2_hashmap_size=c.log2_hashmap_size,
+        )
+
+    @property
+    def flow_net(self) -> FlowField:
+        c = self.cfg
+        return FlowField(
+            input_dim=4,
+            num_layers=c.num_layers_flow,
+            hidden_dim=c.hidden_dim_flow,
+            use_grid=True,
+        )
+
+    @property
+    def unet(self) -> UNet:
+        return UNet(in_channels=3, out_channels=1)
+
+    @property
+    def sigma_input_dim(self) -> int:
+        return self.planes_encoder.n_output_dims + self.hash_encoder.n_output_dims
+
+    @property
+    def view_dim(self) -> int:
+        return 3 * self.cfg.view_degree * 2
+
+    def init(self, key):
+        c = self.cfg
+        ks = jax.random.split(key, 7)
+        lidar_in = self.view_dim + c.geo_feat_dim
+        return {
+            "planes": self.planes_encoder.init(ks[0]),
+            "hash": self.hash_encoder.init(ks[1]),
+            "flow": self.flow_net.init(ks[2]),
+            "sigma": init_mlp(
+                ks[3],
+                [self.sigma_input_dim]
+                + [c.hidden_dim_sigma] * (c.num_layers_sigma - 1)
+                + [1 + c.geo_feat_dim],
+            ),
+            "intensity": init_mlp(
+                ks[4],
+                [lidar_in] + [c.hidden_dim_lidar] * (c.num_layers_lidar - 1) + [1],
+            ),
+            "raydrop": init_mlp(
+                ks[5],
+                [lidar_in] + [c.hidden_dim_lidar] * (c.num_layers_lidar - 1) + [1],
+            ),
+            "unet": self.unet.init(ks[6]),
+        }
+
+    # ------------------------------------------------------------------ flow
+    def flow(self, params, x, t):
+        """x: [N, 3] in [-bound, bound]; t: traced scalar.
+
+        Returns dict(forward [N,3], backward [N,3]) — lidar4d.py:124-137.
+        """
+        c = self.cfg
+        x01 = (x + c.bound) / (2 * c.bound)
+        out = self.flow_net(params["flow"], x01, t)
+        return {"forward": out[:, :3], "backward": out[:, 3:]}
+
+    # --------------------------------------------------------------- density
+    def density(self, params, x, t):
+        """x: [N, 3] in [-bound, bound]; t traced scalar in [0, 1].
+
+        Returns dict(sigma [N], geo_feat [N, geo_feat_dim]).
+        Parity: lidar4d.py:139-188 with where-masked neighbor branches.
+        """
+        c = self.cfg
+        x01 = (x + c.bound) / (2 * c.bound)
+        t = jnp.asarray(t, jnp.float32)
+        frame_idx = jnp.floor(t * (c.num_frames - 1)).astype(jnp.int32)
+
+        hash_s = self.hash_encoder.forward_static(params["hash"], x01)
+        hash_d = self.hash_encoder.forward_dynamic(params["hash"], x01, t)
+
+        t_col = jnp.full((x01.shape[0], 1), t, x01.dtype)
+        xt = jnp.concatenate([x01, t_col], axis=-1)
+        plane_s, plane_d = self.planes_encoder(params["planes"], xt)
+
+        if c.flow_warp:
+            flow = self.flow_net(params["flow"], x01, t)
+
+            # forward neighbor (valid when frame_idx < num_frames - 1)
+            t1 = (frame_idx.astype(jnp.float32) + 1.0) / c.num_frames
+            x1 = x01 + flow[:, :3]
+            hash_d1 = jax.lax.stop_gradient(
+                self.hash_encoder.forward_dynamic(params["hash"], x1, t1)
+            )
+            t1_col = jnp.full((x1.shape[0], 1), t1, x1.dtype)
+            plane_d1 = self.planes_encoder.forward_dynamic(
+                params["planes"], jnp.concatenate([x1, t1_col], -1)
+            )
+
+            # backward neighbor (valid when frame_idx > 0)
+            t2 = (frame_idx.astype(jnp.float32) - 1.0) / c.num_frames
+            x2 = x01 + flow[:, 3:]
+            hash_d2 = jax.lax.stop_gradient(
+                self.hash_encoder.forward_dynamic(params["hash"], x2, jnp.clip(t2, 0.0, 1.0))
+            )
+            t2_col = jnp.full((x2.shape[0], 1), jnp.clip(t2, 0.0, 1.0), x2.dtype)
+            plane_d2 = self.planes_encoder.forward_dynamic(
+                params["planes"], jnp.concatenate([x2, t2_col], -1)
+            )
+
+            has_next = (frame_idx < c.num_frames - 1).astype(jnp.float32)
+            has_prev = (frame_idx > 0).astype(jnp.float32)
+            hash_d1 = has_next * hash_d1 + (1.0 - has_next) * hash_d
+            plane_d1 = has_next * plane_d1 + (1.0 - has_next) * plane_d
+            hash_d2 = has_prev * hash_d2 + (1.0 - has_prev) * hash_d
+            plane_d2 = has_prev * plane_d2 + (1.0 - has_prev) * plane_d
+
+            plane_d = 0.5 * plane_d + 0.25 * (plane_d1 + plane_d2)
+            hash_d = 0.5 * hash_d + 0.25 * (hash_d1 + hash_d2)
+
+        features = jnp.concatenate([plane_s, plane_d, hash_s, hash_d], axis=-1)
+        h = apply_mlp(params["sigma"], features)
+        sigma = trunc_exp(h[:, 0])
+        return {"sigma": sigma, "geo_feat": h[:, 1:]}
+
+    # ------------------------------------------------------------- attribute
+    def attribute(self, params, d, geo_feat):
+        """d: [N, 3] ray dirs in [-1, 1]; geo_feat [N, G].
+
+        Returns [N, 2] = (raydrop, intensity) after sigmoid
+        (lidar4d.py:191-223; masking is applied by the renderer).
+        """
+        d01 = (d + 1.0) / 2.0
+        enc = frequency_encode(d01, self.cfg.view_degree)
+        h = jnp.concatenate([enc, geo_feat], axis=-1)
+        intensity = jax.nn.sigmoid(apply_mlp(params["intensity"], h)[:, 0])
+        raydrop = jax.nn.sigmoid(apply_mlp(params["raydrop"], h)[:, 0])
+        return jnp.stack([raydrop, intensity], axis=-1)
+
+    # ------------------------------------------------ optimizer group labels
+    def param_group_labels(self, params):
+        """Pytree of labels mirroring get_params' per-module LRs
+        (lidar4d.py:226-237): encoders at lr, heads + flow at 0.1*lr."""
+        return {
+            "planes": jax.tree.map(lambda _: "base", params["planes"]),
+            "hash": jax.tree.map(lambda _: "base", params["hash"]),
+            "flow": jax.tree.map(lambda _: "head", params["flow"]),
+            "sigma": jax.tree.map(lambda _: "head", params["sigma"]),
+            "intensity": jax.tree.map(lambda _: "head", params["intensity"]),
+            "raydrop": jax.tree.map(lambda _: "head", params["raydrop"]),
+            "unet": jax.tree.map(lambda _: "unet", params["unet"]),
+        }

@@ -1,0 +1,89 @@
+"""K-Planes style factorized 4D feature planes.
+
+TPU-native re-design of the reference's `Planes4D`
+(`model/planes_field.py:144-239`): the C(4,2)=6 coordinate planes per scale
+split into a static group (xy, xz, yz) and a dynamic group (xt, yt, zt);
+features within a group are reduced by product and concatenated over the
+multiscale pyramid. Time planes are initialized to ones, spatial planes
+U(0.1, 0.5) (planes_field.py:44-53), so the product starts near the spatial
+prior and time modulates it multiplicatively.
+
+All samples are bilinear gathers (`ops.grid_sample_2d`) with the
+align_corners=True / border-padding semantics the reference gets from
+torch `F.grid_sample` (planes_field.py:56-84).
+"""
+
+from dataclasses import dataclass, field
+from itertools import combinations
+
+import jax
+import jax.numpy as jnp
+
+from lidar4d_tpu.ops.grid_sample import grid_sample_2d
+
+_COO_COMBS = tuple(combinations(range(4), 2))
+# static: no time axis; dynamic: includes axis 3
+_STATIC_COMBS = tuple(c for c in _COO_COMBS if 3 not in c)
+_DYNAMIC_COMBS = tuple(c for c in _COO_COMBS if 3 in c)
+
+
+@dataclass(frozen=True)
+class Planes4D:
+    output_dim: int = 8
+    resolution: tuple = (32, 32, 32, 8)  # x, y, z, t base resolutions
+    multiscale_res: tuple = (1, 2, 4, 8)
+    a: float = 0.1
+    b: float = 0.5
+
+    @property
+    def n_output_dims(self) -> int:
+        # concat over scales, x2 for (static, dynamic) groups
+        return self.output_dim * len(self.multiscale_res) * 2
+
+    def _scale_reso(self, scale: int):
+        # multiscale applies to spatial axes only (planes_field.py:174-177)
+        return tuple(r * scale for r in self.resolution[:3]) + self.resolution[3:]
+
+    def init(self, key):
+        params = []
+        keys = jax.random.split(key, len(self.multiscale_res) * len(_COO_COMBS))
+        ki = 0
+        for scale in self.multiscale_res:
+            reso = self._scale_reso(scale)
+            planes = []
+            for comb in _COO_COMBS:
+                # stored [C, reso[c1], reso[c0]] so coord c0 indexes the last
+                # axis — the reference's reversed-reso grid layout
+                shape = (self.output_dim, reso[comb[1]], reso[comb[0]])
+                if 3 in comb:
+                    w = jnp.ones(shape, jnp.float32)
+                else:
+                    w = jax.random.uniform(
+                        keys[ki], shape, jnp.float32, self.a, self.b
+                    )
+                planes.append(w)
+                ki += 1
+            params.append(planes)
+        return params
+
+    def _forward(self, params, pts, combs, comb_ids):
+        """pts: [N, 4] in [0,1]. Product over the group's planes, concat scales."""
+        outs = []
+        for planes in params:
+            acc = None
+            for comb, ci in zip(combs, comb_ids):
+                feat = grid_sample_2d(planes[ci], pts[:, list(comb)])  # [N, C]
+                acc = feat if acc is None else acc * feat
+            outs.append(acc)
+        return jnp.concatenate(outs, axis=-1)
+
+    def forward_static(self, params, pts):
+        ids = [_COO_COMBS.index(c) for c in _STATIC_COMBS]
+        return self._forward(params, pts, _STATIC_COMBS, ids)
+
+    def forward_dynamic(self, params, pts):
+        ids = [_COO_COMBS.index(c) for c in _DYNAMIC_COMBS]
+        return self._forward(params, pts, _DYNAMIC_COMBS, ids)
+
+    def __call__(self, params, pts):
+        return self.forward_static(params, pts), self.forward_dynamic(params, pts)

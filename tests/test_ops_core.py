@@ -1,0 +1,323 @@
+"""Golden-value tests for the numeric core against reference semantics.
+
+Where the reference math is torch (grid_sample) we test against torch CPU;
+where it is a Python loop (pano z-buffer) we test against a literal
+reimplementation of the loop; pure formulas (rays, lagrange) get closed-form
+goldens.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lidar4d_tpu.ops import (
+    trunc_exp,
+    grid_sample_2d,
+    chamfer_distance,
+    lidar_to_pano_with_intensities,
+    pano_to_lidar_with_intensities,
+    pano_to_lidar,
+    get_lidar_rays,
+    init_mlp,
+    apply_mlp,
+)
+from lidar4d_tpu.ops.hash_enc import (
+    HashEncoderSpec,
+    hash_encode,
+    init_hash_table,
+    lagrange_time_interp,
+)
+
+
+# ---------------------------------------------------------------- trunc_exp
+def test_trunc_exp_forward_backward():
+    x = jnp.array([-20.0, -1.0, 0.0, 3.0, 20.0])
+    np.testing.assert_allclose(trunc_exp(x), np.exp(x), rtol=1e-5)
+    g = jax.grad(lambda v: jnp.sum(trunc_exp(v)))(x)
+    expected = np.exp(np.clip(np.asarray(x), -15, 15))
+    np.testing.assert_allclose(g, expected, rtol=1e-5)
+
+
+# ---------------------------------------------------------------- grid sample
+def test_grid_sample_matches_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    C, H, W, N = 8, 13, 17, 200
+    grid = rng.normal(size=(C, H, W)).astype(np.float32)
+    coords01 = rng.uniform(0, 1, size=(N, 2)).astype(np.float32)
+    # include exact corners/edges
+    coords01[:4] = [[0, 0], [1, 1], [0, 1], [1, 0]]
+
+    ours = np.asarray(grid_sample_2d(jnp.asarray(grid), jnp.asarray(coords01)))
+
+    # reference path: planes_field.py grid_sample_wrapper
+    t_grid = torch.from_numpy(grid)[None]  # [1, C, H, W]
+    t_coords = torch.from_numpy(coords01 * 2.0 - 1.0)[None, None]  # [1,1,N,2]
+    ref = F.grid_sample(
+        t_grid, t_coords, align_corners=True, mode="bilinear", padding_mode="border"
+    )  # [1, C, 1, N]
+    ref = ref[0, :, 0, :].T.numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------- hash encoder
+def test_hash_encoder_shapes_and_determinism():
+    spec = HashEncoderSpec(
+        n_dims=3, n_levels=4, n_features=2, log2_hashmap_size=12,
+        base_resolution=16, max_resolution=128,
+    )
+    table = init_hash_table(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+    out = hash_encode(spec, table, x)
+    assert out.shape == (64, spec.n_output_dims)
+    out2 = hash_encode(spec, table, x)
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_hash_encoder_dense_level_exact_interp():
+    # a dense level should reproduce exact bilinear interpolation of vertices
+    spec = HashEncoderSpec(
+        n_dims=2, n_levels=1, n_features=1, log2_hashmap_size=16,
+        base_resolution=4, max_resolution=4,
+    )
+    assert spec.table_sizes[0] == 25  # (4+1)^2 dense
+    # table value = x + 10*y on the vertex grid
+    vals = np.zeros((25, 1), np.float32)
+    for yy in range(5):
+        for xx in range(5):
+            vals[xx + yy * 5] = xx + 10 * yy
+    x = jnp.array([[0.5, 0.5], [0.25, 0.75], [1.0, 1.0], [0.0, 0.0]])
+    out = np.asarray(hash_encode(spec, jnp.asarray(vals), x))[:, 0]
+    # position in vertex units = coord * res
+    expected = np.array([2 + 10 * 2, 1 + 10 * 3, 4 + 10 * 4, 0.0])
+    np.testing.assert_allclose(out, expected, rtol=1e-6)
+
+
+def test_hash_encoder_row_offset_selects_grid():
+    spec = HashEncoderSpec(
+        n_dims=2, n_levels=2, n_features=2, log2_hashmap_size=8,
+        base_resolution=8, max_resolution=16,
+    )
+    k = jax.random.PRNGKey(0)
+    table = init_hash_table(k, spec, n_grids=3)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 2))
+    out0 = hash_encode(spec, table, x, row_offset=jnp.int32(0))
+    out1 = hash_encode(spec, table, x, row_offset=jnp.int32(spec.n_rows))
+    ref1 = hash_encode(spec, table[spec.n_rows: 2 * spec.n_rows], x)
+    assert not np.allclose(out0, out1)
+    np.testing.assert_allclose(out1, ref1, rtol=1e-6)
+
+
+def test_lagrange_interp_matches_reference_formula():
+    """Golden vs the reference interpT (hash_field.py:65-74) in numpy."""
+    rng = np.random.default_rng(0)
+    N, L, F, B = 7, 8, 4, 4
+    feats = rng.normal(size=(N, L * F)).astype(np.float32)
+    t = 0.37
+
+    # reference formula
+    x = feats.reshape(N, L, F)
+    chunks = np.split(x, B, axis=-1)
+    T = [i / (B - 1) for i in range(B)]
+
+    def basis(j):
+        out = 1.0
+        for m in range(B):
+            if m != j:
+                out *= (t - T[m]) / (T[j] - T[m])
+        return out
+
+    ref = sum(basis(i) * chunks[i] for i in range(B)).reshape(N, L * F // B)
+
+    ours = np.asarray(lagrange_time_interp(jnp.asarray(feats), t, L, F, B))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------- chamfer
+def _brute_chamfer(x, y):
+    d = ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1)
+    return d.min(1), d.min(0), d.argmin(1), d.argmin(0)
+
+
+def test_chamfer_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 300, 3)).astype(np.float32)
+    y = rng.normal(size=(2, 457, 3)).astype(np.float32)
+    d1, d2, i1, i2 = chamfer_distance(jnp.asarray(x), jnp.asarray(y))
+    for b in range(2):
+        rd1, rd2, ri1, ri2 = _brute_chamfer(x[b], y[b])
+        np.testing.assert_allclose(d1[b], rd1, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(d2[b], rd2, rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(i1[b], ri1)
+        np.testing.assert_array_equal(i2[b], ri2)
+
+
+def test_chamfer_gradient_matches_reference_semantics():
+    """VJP must equal the CUDA backward's analytic scatter (chamfer3D.cu:154-173)."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 40, 3)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(1, 55, 3)).astype(np.float32))
+
+    def loss(x, y):
+        d1, d2, _, _ = chamfer_distance(x, y)
+        return jnp.sum(d1) * 1.3 + jnp.sum(d2) * 0.7
+
+    gx, gy = jax.grad(loss, argnums=(0, 1))(x, y)
+
+    # analytic
+    d1, d2, i1, i2 = map(np.asarray, chamfer_distance(x, y))
+    xn, yn = np.asarray(x)[0], np.asarray(y)[0]
+    egx = 1.3 * 2 * (xn - yn[i1[0]])
+    egy = 0.7 * 2 * (yn - xn[i2[0]])
+    for i, j in enumerate(i1[0]):
+        egy[j] -= 1.3 * 2 * (xn[i] - yn[j])
+    for j, i in enumerate(i2[0]):
+        egx[i] -= 0.7 * 2 * (yn[j] - xn[i])
+    np.testing.assert_allclose(gx[0], egx, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(gy[0], egy, rtol=1e-4, atol=1e-5)
+
+
+def test_chamfer_grad_numerical():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 12, 3)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(1, 9, 3)).astype(np.float32))
+
+    def loss(x):
+        d1, d2, _, _ = chamfer_distance(x, y)
+        return jnp.sum(d1) + jnp.sum(d2)
+
+    g = jax.grad(loss)(x)
+    eps = 1e-3
+    for idx in [(0, 0, 0), (0, 5, 1), (0, 11, 2)]:
+        xp = x.at[idx].add(eps)
+        xm = x.at[idx].add(-eps)
+        fd = (loss(xp) - loss(xm)) / (2 * eps)
+        np.testing.assert_allclose(g[idx], fd, rtol=2e-2, atol=1e-3)
+
+
+# ---------------------------------------------------------------- pano
+def _reference_lidar_to_pano(pts, H, W, K, max_depth=80.0):
+    """Literal reimplementation of convert.py:4-65 (loop) as golden."""
+    xyz, intens = pts[:, :3], pts[:, 3]
+    fov_up, fov = K
+    fov_down = fov - fov_up
+    dists = np.linalg.norm(xyz, axis=1)
+    pano = np.zeros((H, W))
+    ivals = np.zeros((H, W))
+    for p, dist, inten in zip(xyz, dists, intens):
+        if dist >= max_depth:
+            continue
+        x, y, z = p
+        beta = np.pi - np.arctan2(y, x)
+        alpha = np.arctan2(z, np.sqrt(x**2 + y**2)) + fov_down / 180 * np.pi
+        c = int(round(beta / (2 * np.pi / W)))
+        r = int(round(H - alpha / (fov / 180 * np.pi / H)))
+        if r >= H or r < 0 or c >= W or c < 0:
+            continue
+        if pano[r, c] == 0.0 or pano[r, c] > dist:
+            pano[r, c] = dist
+            ivals[r, c] = inten
+    return pano, ivals
+
+
+def test_lidar_to_pano_matches_reference_loop():
+    rng = np.random.default_rng(0)
+    n = 4000
+    pts = np.zeros((n, 4), np.float32)
+    r = rng.uniform(2, 70, n)
+    az = rng.uniform(-np.pi, np.pi, n)
+    el = rng.uniform(np.radians(-24.9), np.radians(2.0), n)
+    pts[:, 0] = r * np.cos(el) * np.cos(az)
+    pts[:, 1] = r * np.cos(el) * np.sin(az)
+    pts[:, 2] = r * np.sin(el)
+    pts[:, 3] = rng.uniform(0, 1, n)
+    H, W, K = 22, 103, (2.0, 26.9)
+
+    pano, intens = lidar_to_pano_with_intensities(pts, H, W, K)
+    ref_pano, ref_intens = _reference_lidar_to_pano(pts, H, W, K)
+    np.testing.assert_allclose(pano, ref_pano, rtol=1e-6)
+    np.testing.assert_allclose(intens, ref_intens, rtol=1e-6)
+
+
+def test_pano_lidar_roundtrip():
+    # back-projecting a pano and re-projecting must reproduce it
+    rng = np.random.default_rng(1)
+    H, W, K = 16, 64, (2.0, 26.9)
+    pano = rng.uniform(3, 60, size=(H, W))
+    pano[rng.uniform(size=(H, W)) < 0.3] = 0.0
+    intens = rng.uniform(size=(H, W)) * (pano > 0)
+    pts = pano_to_lidar_with_intensities(pano, intens, K)
+    assert pts.shape[1] == 4
+    pano2, intens2 = lidar_to_pano_with_intensities(pts, H, W, K)
+    # column 0 sits on the azimuth seam: beta = pi back-projects to
+    # arctan2(-eps, -1) and re-projects to c = W (dropped) — the reference
+    # loop drops those points identically, so the roundtrip holds for c >= 1.
+    np.testing.assert_allclose(pano2[:, 1:], pano[:, 1:], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(intens2[:, 1:], intens[:, 1:], rtol=1e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------- rays
+def test_full_image_rays_match_pano_backprojection():
+    """Rays o + d*depth must reconstruct pano_to_lidar points (world frame)."""
+    K = (2.0, 26.9)
+    H, W = 8, 32
+    pose = np.eye(4, dtype=np.float32)
+    rays = get_lidar_rays(jnp.asarray(pose), K, H, W, N=-1)
+    rng = np.random.default_rng(0)
+    pano = rng.uniform(5, 50, size=(H, W)).astype(np.float32)
+    pts_ref = pano_to_lidar(pano, K)  # all pixels nonzero -> H*W points
+    pts_rays = np.asarray(rays["rays_d"]) * pano.reshape(-1, 1)
+    np.testing.assert_allclose(pts_rays, pts_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_ray_sampling_shapes_and_bounds():
+    K = (2.0, 26.9)
+    H, W = 66, 1030
+    pose = jnp.eye(4)
+    out = get_lidar_rays(pose, K, H, W, key=jax.random.PRNGKey(0), N=1024)
+    assert out["rays_o"].shape == (1024, 3)
+    assert out["inds"].shape == (1024,)
+    assert int(out["inds"].max()) < H * W
+
+    out = get_lidar_rays(
+        pose, K, H, W, key=jax.random.PRNGKey(1), N=1024, patch_size=[2, 8]
+    )
+    assert out["rays_d"].shape == (1024, 3)
+    # patch rows stay in range
+    rows = np.asarray(out["inds"]) // W
+    assert rows.max() < H
+
+
+def test_rays_rotated_by_pose():
+    K = (2.0, 26.9)
+    H, W = 4, 16
+    theta = 0.3
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = np.array(
+        [[np.cos(theta), -np.sin(theta), 0],
+         [np.sin(theta), np.cos(theta), 0],
+         [0, 0, 1]], np.float32)
+    pose[:3, 3] = [1.0, 2.0, 3.0]
+    out = get_lidar_rays(jnp.asarray(pose), K, H, W, N=-1)
+    base = get_lidar_rays(jnp.eye(4), K, H, W, N=-1)
+    np.testing.assert_allclose(
+        np.asarray(out["rays_d"]),
+        np.asarray(base["rays_d"]) @ pose[:3, :3].T,
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(np.asarray(out["rays_o"])[0], pose[:3, 3])
+
+
+# ---------------------------------------------------------------- mlp
+def test_mlp_shapes_and_grad():
+    params = init_mlp(jax.random.PRNGKey(0), [16, 64, 64, 6], final_init_std=0.001)
+    assert [p.shape for p in params] == [(16, 64), (64, 64), (64, 6)]
+    assert float(jnp.abs(params[-1]).max()) < 0.01
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 16))
+    y = apply_mlp(params, x)
+    assert y.shape == (32, 6) and y.dtype == jnp.float32
+    g = jax.grad(lambda p: jnp.sum(apply_mlp(p, x) ** 2))(params)
+    assert all(gi.shape == pi.shape for gi, pi in zip(g, params))
