@@ -55,6 +55,12 @@ class LiDAR4DConfig:
     log2_hashmap_size: int = 19
     num_layers_flow: int = 3
     hidden_dim_flow: int = 64
+    # flow-field grid (FlowField defaults = reference flow_field.py:66-77)
+    flow_n_levels: int = 8
+    flow_n_features: int = 8
+    flow_log2_hashmap_size: int = 18
+    flow_base_resolution: int = 32
+    flow_max_resolution: int = 8192
     num_layers_sigma: int = 2
     hidden_dim_sigma: int = 64
     geo_feat_dim: int = 15
@@ -105,6 +111,11 @@ class LiDAR4DField:
             num_layers=c.num_layers_flow,
             hidden_dim=c.hidden_dim_flow,
             use_grid=True,
+            n_levels=c.flow_n_levels,
+            n_features_per_level=c.flow_n_features,
+            log2_hashmap_size=c.flow_log2_hashmap_size,
+            base_resolution=c.flow_base_resolution,
+            max_resolution=c.flow_max_resolution,
         )
 
     @property
@@ -165,7 +176,9 @@ class LiDAR4DField:
         c = self.cfg
         x01 = (x + c.bound) / (2 * c.bound)
         t = jnp.asarray(t, jnp.float32)
-        frame_idx = jnp.floor(t * (c.num_frames - 1)).astype(jnp.int32)
+        # int(t * (num_frames-1)) in the reference; training times are exactly
+        # frame-aligned so round-to-nearest is the fp32-robust equivalent
+        frame_idx = jnp.floor(t * (c.num_frames - 1) + 0.5).astype(jnp.int32)
 
         hash_s = self.hash_encoder.forward_static(params["hash"], x01)
         hash_d = self.hash_encoder.forward_dynamic(params["hash"], x01, t)

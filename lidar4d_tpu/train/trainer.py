@@ -1,0 +1,426 @@
+"""Training orchestration: epochs, eval, checkpointing, refine.
+
+Re-design of the reference's `Trainer` (`model/runner.py:32-1073`) around the
+jitted train step. Structure map:
+  * train / train_one_epoch — runner.py:686-719, 474-551 (per-epoch patch-
+    size alternation, per-epoch EMA update, per-epoch checkpoint, eval every
+    eval_interval epochs);
+  * evaluate_one_epoch — runner.py:553-682 (EMA weights, staged render,
+    optional U-Net refine, 4 meters, validation panel PNGs, best = CD);
+  * test — runner.py:727-815 (point-cloud npys + colormapped PNGs / video);
+  * refine — runner.py:818-922 via train.refine;
+  * checkpoint semantics via train.checkpoints.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidar4d_tpu.models.renderer import render_staged
+from lidar4d_tpu.ops.pano import pano_to_lidar
+from lidar4d_tpu.parallel.mesh import make_mesh, replicate
+from lidar4d_tpu.train.checkpoints import CheckpointManager
+from lidar4d_tpu.train.ema import ema_params, ema_update
+from lidar4d_tpu.train.flow_cache import build_flow_cache
+from lidar4d_tpu.train.refine import refine_unet
+from lidar4d_tpu.train.train_step import init_train_state, make_train_step
+
+
+class Trainer:
+    def __init__(
+        self,
+        name,
+        opt,              # parsed options namespace (cli.config)
+        field,            # LiDAR4DField
+        loss_cfg,
+        workspace="workspace",
+        lidar_metrics=(),
+        use_checkpoint="latest",
+        ema_decay=0.95,
+        eval_interval=50,
+        max_keep_ckpt=1,
+        seed=0,
+    ):
+        self.name = name
+        self.opt = opt
+        self.field = field
+        self.loss_cfg = loss_cfg
+        self.workspace = workspace
+        self.lidar_metrics = list(lidar_metrics)
+        self.ema_decay = ema_decay
+        self.eval_interval = eval_interval
+        self.use_refine = True
+
+        os.makedirs(workspace, exist_ok=True)
+        self.log_path = os.path.join(workspace, f"log_{name}.txt")
+        self.metrics_path = os.path.join(workspace, f"metrics_{name}.jsonl")
+
+        self.epoch = 0
+        self.global_step = 0
+        self.stats = {"loss": [], "valid_loss": [], "results": [], "best_result": None}
+
+        # data-parallel mesh over rays (new capability; reference is 1-GPU)
+        n_dev = getattr(opt, "num_devices", 0) or len(jax.devices())
+        self.mesh = make_mesh(n_dev) if n_dev > 1 else None
+
+        key = jax.random.PRNGKey(seed)
+        self.state, self.optimizer = init_train_state(
+            field, key, lr=opt.lr, iters=opt.iters
+        )
+        if self.mesh is not None:
+            self.state = replicate(self.mesh, self.state)
+        self.ckpt = CheckpointManager(workspace, name=name, max_keep=max_keep_ckpt)
+        self._steps = {}  # patch-mode -> jitted step
+        self._rng = np.random.default_rng(seed)
+        self._key = jax.random.PRNGKey(seed + 1)
+        self.flow_cache = None
+
+        n_params = sum(
+            int(np.prod(np.shape(p))) for p in jax.tree.leaves(self.state.params)
+        )
+        self.log(
+            f"[INFO] Trainer: {name} | {jax.default_backend()} | "
+            f"{time.strftime('%Y-%m-%d_%H-%M-%S')} | {workspace}"
+        )
+        self.log(f"[INFO] #parameters: {n_params}")
+
+        if use_checkpoint != "scratch":
+            self.load_checkpoint(use_checkpoint)
+
+    # ------------------------------------------------------------------- log
+    def log(self, *args):
+        msg = " ".join(str(a) for a in args)
+        print(msg, flush=True)
+        with open(self.log_path, "a") as f:
+            f.write(msg + "\n")
+
+    def log_metrics(self, record):
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps({k: float(v) if hasattr(v, "item") else v
+                                for k, v in record.items()}) + "\n")
+
+    # ------------------------------------------------------------- stepping
+    def _get_step(self, dataset, patch_size):
+        key = (dataset.H_lidar, dataset.W_lidar, tuple(np.atleast_1d(patch_size)))
+        if key not in self._steps:
+            self._steps[key] = make_train_step(
+                self.field,
+                self.optimizer,
+                self.loss_cfg,
+                H=dataset.H_lidar,
+                W=dataset.W_lidar,
+                fov_lidar=tuple(dataset.fov_lidar),
+                num_rays=self.opt.num_rays_lidar,
+                num_steps=self.opt.num_steps,
+                patch_size=patch_size,
+                mesh=self.mesh,
+            )
+        return self._steps[key]
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # ----------------------------------------------------------------- train
+    def train(self, train_ds, valid_ds, refine_ds, max_epochs):
+        if self.loss_cfg.flow_loss and self.flow_cache is None:
+            self.log("Preparing Point Clouds ...")
+            cache = build_flow_cache(
+                refine_ds, self.opt.scale, self.opt.num_frames, verbose=False
+            )
+            self.flow_cache = jax.tree.map(jnp.asarray, cache)
+            if self.mesh is not None:
+                self.flow_cache = replicate(self.mesh, self.flow_cache)
+
+        change = (
+            np.atleast_1d(self.opt.change_patch_size_lidar)[0] > 1
+        )
+        for epoch in range(self.epoch + 1, max_epochs + 1):
+            self.epoch = epoch
+            if change and epoch % self.opt.change_patch_size_epoch == 0:
+                patch = tuple(self.opt.change_patch_size_lidar)
+            else:
+                patch = 1
+            self.train_one_epoch(train_ds, patch)
+
+            self.save_checkpoint()
+
+            if epoch % self.eval_interval == 0:
+                self.use_refine = False
+                self.evaluate_one_epoch(valid_ds)
+                self.save_checkpoint(best=True)
+
+        self.refine(refine_ds)
+
+    def train_one_epoch(self, dataset, patch_size):
+        step_fn = self._get_step(dataset, patch_size)
+        order = dataset.epoch_order(self._rng)
+        total_loss = 0.0
+        t0 = time.perf_counter()
+        last_metrics = None
+        for i in order:
+            frame = jax.tree.map(jnp.asarray, dataset.frame(int(i)))
+            self.state, metrics = step_fn(
+                self.state, frame, self.flow_cache, self._next_key()
+            )
+            self.global_step += 1
+            last_metrics = metrics
+        # block on the last step for honest timing
+        loss_val = float(last_metrics["loss"])
+        dt = time.perf_counter() - t0
+        total_loss = loss_val
+        rays_per_sec = len(order) * self.opt.num_rays_lidar / dt
+
+        # EMA once per epoch (runner.py:534-535)
+        self.state = self.state._replace(
+            ema=ema_update(self.state.ema, self.state.params, self.ema_decay)
+        )
+        self.stats["loss"].append(total_loss)
+        self.log(
+            f"==> Epoch {self.epoch} | loss {loss_val:.4f} | "
+            f"{rays_per_sec:,.0f} rays/s | step {self.global_step}"
+        )
+        self.log_metrics(
+            {"epoch": self.epoch, "loss": loss_val, "rays_per_sec": rays_per_sec}
+        )
+
+    # ------------------------------------------------------------------ eval
+    def _eval_params(self):
+        return ema_params(self.state.ema) if self.state.ema.num_updates > 0 \
+            else self.state.params
+
+    def _render_frame(self, params, dataset, i):
+        from lidar4d_tpu.ops.rays import get_lidar_rays
+
+        H, W = dataset.H_lidar, dataset.W_lidar
+        frame = dataset.frame(i)
+        rays = get_lidar_rays(
+            jnp.asarray(frame["pose"]), dataset.intrinsics_lidar, H, W, N=-1
+        )
+        out = render_staged(
+            self.field, params, rays["rays_o"], rays["rays_d"],
+            jnp.float32(frame["time"]), num_steps=self.opt.num_steps,
+        )
+        pred_raydrop = np.asarray(out["image_lidar"][:, 0]).reshape(H, W)
+        pred_intensity = np.asarray(out["image_lidar"][:, 1]).reshape(H, W)
+        pred_depth = np.asarray(out["depth_lidar"]).reshape(H, W)
+        return pred_raydrop, pred_intensity, pred_depth
+
+    def _apply_refine(self, params, raydrop, intensity, depth):
+        x = jnp.stack([jnp.asarray(raydrop), jnp.asarray(intensity),
+                       jnp.asarray(depth)])[None]  # [1,3,H,W]
+        out, _ = self.field.unet.apply(
+            {"params": params["unet"]["params"], "state": params["unet"]["state"]},
+            x, train=False,
+        )
+        return np.asarray(out[0, 0])
+
+    def evaluate_one_epoch(self, dataset, name=None):
+        self.log(f"++> Evaluate at epoch {self.epoch} ...")
+        if name is None:
+            name = f"{self.name}_ep{self.epoch:04d}"
+        for m in self.lidar_metrics:
+            m.clear()
+        params = self._eval_params()
+
+        for i in range(len(dataset)):
+            img = np.asarray(dataset.images_lidar[i])
+            gt_raydrop = img[..., 0]
+            gt_intensity = img[..., 1] * gt_raydrop
+            gt_depth = img[..., 2] * gt_raydrop
+
+            raydrop, intensity, depth = self._render_frame(params, dataset, i)
+            if self.opt.raydrop_loss == "bce":
+                raydrop = 1 / (1 + np.exp(-raydrop))
+            if self.use_refine:
+                raydrop = self._apply_refine(params, raydrop, intensity, depth)
+            mask = (raydrop > 0.5).astype(np.float32)
+
+            for mi, meter in enumerate(self.lidar_metrics):
+                if mi == 0:
+                    meter.update(raydrop[None], gt_raydrop[None])
+                elif mi == 1:
+                    meter.update((intensity * mask)[None], gt_intensity[None])
+                else:
+                    meter.update((depth * mask)[None], gt_depth[None])
+
+            self._save_validation_panel(
+                name, i + 1, raydrop, intensity, depth, mask
+            )
+
+        if self.lidar_metrics:
+            result = self.lidar_metrics[-1].measure()[0]  # CD (min-better)
+            self.stats["results"].append(float(result))
+        for meter in self.lidar_metrics:
+            self.log(meter.report())
+        self.log(f"++> Evaluate epoch {self.epoch} Finished.")
+
+    def _save_validation_panel(self, name, idx, raydrop, intensity, depth, mask):
+        try:
+            import cv2
+        except ImportError:
+            return
+        out_dir = os.path.join(self.workspace, "validation")
+        os.makedirs(out_dir, exist_ok=True)
+
+        def cm(x, cmap):
+            img = (np.clip(x, 0, 1) * 255).astype(np.uint8)
+            return cv2.applyColorMap(img, cmap)
+
+        img_raydrop = cv2.cvtColor(
+            (np.clip(raydrop, 0, 1) * 255).astype(np.uint8), cv2.COLOR_GRAY2BGR
+        )
+        img_mask = cv2.cvtColor((mask * 255).astype(np.uint8), cv2.COLOR_GRAY2BGR)
+        panel = cv2.vconcat([
+            img_raydrop, cm(intensity, 1), cm(depth, 20),
+            img_mask, cm(intensity * mask, 1), cm(depth * mask, 20),
+        ])
+        cv2.imwrite(os.path.join(out_dir, f"{name}_{idx:04d}.png"), panel)
+
+    def evaluate(self, dataset, name=None, refine=True):
+        self.use_refine = refine
+        self.evaluate_one_epoch(dataset, name)
+
+    # ------------------------------------------------------------------ test
+    def test(self, dataset, save_path=None, name=None, refine=True):
+        if save_path is None:
+            save_path = os.path.join(self.workspace, "results")
+        if name is None:
+            name = f"{self.name}_ep{self.epoch:04d}"
+        os.makedirs(save_path, exist_ok=True)
+        self.log(f"==> Start Test, save results to {save_path}")
+        self.use_refine = refine
+        params = self._eval_params()
+
+        try:
+            import cv2
+        except ImportError:
+            cv2 = None
+
+        for i in range(len(dataset)):
+            raydrop, intensity, depth = self._render_frame(params, dataset, i)
+            if self.opt.raydrop_loss == "bce":
+                raydrop = 1 / (1 + np.exp(-raydrop))
+            if self.use_refine:
+                raydrop = self._apply_refine(params, raydrop, intensity, depth)
+            mask = (raydrop > 0.5).astype(np.float32)
+            if self.opt.alpha_r > 0:
+                intensity = intensity * mask
+                depth = depth * mask
+
+            pred_lidar = pano_to_lidar(depth / self.opt.scale, dataset.intrinsics_lidar)
+            np.save(
+                os.path.join(save_path, f"test_{name}_{i + 1:04d}_depth_lidar.npy"),
+                pred_lidar,
+            )
+            if cv2 is not None:
+                cv2.imwrite(
+                    os.path.join(save_path, f"test_{name}_{i + 1:04d}_raydrop.png"),
+                    (mask * 255).astype(np.uint8),
+                )
+                cv2.imwrite(
+                    os.path.join(save_path, f"test_{name}_{i + 1:04d}_intensity.png"),
+                    cv2.applyColorMap((np.clip(intensity, 0, 1) * 255).astype(np.uint8), 1),
+                )
+                cv2.imwrite(
+                    os.path.join(save_path, f"test_{name}_{i + 1:04d}_depth.png"),
+                    cv2.applyColorMap((np.clip(depth, 0, 1) * 255).astype(np.uint8), 20),
+                )
+        self.log("==> Finished Test.")
+
+    # ---------------------------------------------------------------- refine
+    def refine(self, dataset):
+        # copy EMA weights in and drop the EMA (runner.py:819-821)
+        if self.state.ema.num_updates > 0:
+            self.state = self.state._replace(params=ema_params(self.state.ema))
+        params = self.state.params
+
+        self.log("Preparing for Raydrop Refinement ...")
+        inputs, gts = [], []
+        for i in range(len(dataset)):
+            raydrop, intensity, depth = self._render_frame(params, dataset, i)
+            inputs.append(np.stack([raydrop, intensity, depth]))
+            gts.append(np.asarray(dataset.images_lidar[i][..., 0])[None])
+        inputs = jnp.asarray(np.stack(inputs))  # [B, 3, H, W]
+        gts = jnp.asarray(np.stack(gts))        # [B, 1, H, W]
+
+        self.log("Start UNet Optimization ...")
+        new_unet = refine_unet(
+            self.field.unet, params["unet"], inputs, gts,
+            steps=1000, lr=1e-3, key=self._next_key(), log_fn=self.log,
+        )
+        params = dict(params)
+        params["unet"] = new_unet
+        self.state = self.state._replace(params=params)
+        self.ckpt.save_refine(
+            {"params": self.state.params, "epoch": self.epoch}, self.epoch
+        )
+
+    # ----------------------------------------------------------- checkpoints
+    def _full_state_tree(self):
+        return {
+            "state": self.state,
+            "epoch": self.epoch,
+            "global_step": self.global_step,
+            "best_result": (
+                -1.0 if self.stats["best_result"] is None
+                else float(self.stats["best_result"])
+            ),
+        }
+
+    def save_checkpoint(self, best=False):
+        if not best:
+            self.ckpt.save_epoch(self._full_state_tree(), self.epoch)
+            return
+        if not self.stats["results"]:
+            self.log("[WARN] no evaluated results found, skip saving best checkpoint.")
+            return
+        latest = self.stats["results"][-1]
+        if self.stats["best_result"] is None or latest < self.stats["best_result"]:
+            self.log(
+                f"[INFO] New best result: {self.stats['best_result']} --> {latest}"
+            )
+            self.stats["best_result"] = latest
+            # best stores EMA weights (runner.py:998-1008)
+            tree = {
+                "params": ema_params(self.state.ema),
+                "epoch": self.epoch,
+                "global_step": self.global_step,
+            }
+            self.ckpt.save_best(tree)
+
+    def load_checkpoint(self, which="latest", model_only=False):
+        include_refine = which == "latest_model" or str(which).endswith("_refine")
+        path = self.ckpt.resolve(which, include_refine=include_refine)
+        if path is None:
+            self.log("[WARN] No checkpoint found, model randomly initialized.")
+            return
+        self.log(f"[INFO] Loading checkpoint {path} ...")
+        if path.endswith("_refine") or os.path.basename(path).endswith("_best"):
+            tree = self.ckpt.restore(
+                path,
+                {"params": self.state.params, "epoch": 0, "global_step": 0}
+                if not path.endswith("_refine")
+                else {"params": self.state.params, "epoch": 0},
+            )
+            self.state = self.state._replace(params=tree["params"])
+            self.epoch = int(tree.get("epoch", 0))
+            self.log("[INFO] loaded model (weights only).")
+            return
+        tree = self.ckpt.restore(path, self._full_state_tree())
+        if model_only or which == "latest_model":
+            self.state = self.state._replace(params=tree["state"].params)
+            self.log("[INFO] loaded model.")
+            return
+        self.state = tree["state"]
+        self.epoch = int(tree["epoch"])
+        self.global_step = int(tree["global_step"])
+        best = float(tree["best_result"])
+        self.stats["best_result"] = None if best < 0 else best
+        self.log(
+            f"[INFO] load at epoch {self.epoch}, global step {self.global_step}"
+        )

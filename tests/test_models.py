@@ -25,6 +25,10 @@ TINY = LiDAR4DConfig(
     min_resolution=8,
     time_resolution=4,
     num_frames=5,
+    flow_n_levels=4,
+    flow_log2_hashmap_size=10,
+    flow_base_resolution=8,
+    flow_max_resolution=32,
 )
 
 
