@@ -145,6 +145,11 @@ def get_arg_parser(default_config="configs/kitti360_4950.txt"):
     p.add_argument("--ema_decay", type=float, default=0.95)
 
     # framework-native extras (not in the reference)
+    p.add_argument("--num_coarse", type=int, default=0,
+                   help="hierarchical sampling: uniform coarse samples/ray "
+                        "(0 = reference uniform num_steps sampling)")
+    p.add_argument("--num_fine", type=int, default=0,
+                   help="hierarchical sampling: importance samples/ray")
     p.add_argument("--num_devices", type=int, default=0,
                    help="shard ray batches over this many devices (0 = all)")
     p.add_argument("--profile", action="store_true",

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from lidar4d_tpu.ops.hash_enc import (
     HashEncoderSpec,
     hash_encode,
+    hash_encode_blend,
     init_hash_table,
     lagrange_time_interp,
 )
@@ -107,9 +108,11 @@ class HashGrid4D:
             spec = self.dynamic_spec(p)
             table = params[f"dynamic_{p}"]
             xy = x[:, sel]
-            g1 = hash_encode(spec, table, xy, row_offset=i1 * spec.n_rows)
-            g2 = hash_encode(spec, table, xy, row_offset=i2 * spec.n_rows)
-            g = (1.0 - w2) * g1 + w2 * g2
+            g = hash_encode_blend(
+                spec, table, xy,
+                row_offsets=jnp.stack([i1, i2]) * spec.n_rows,
+                blend=jnp.stack([1.0 - w2, w2]),
+            )
             feats.append(
                 lagrange_time_interp(
                     g, t, self.n_levels, self.n_features_per_level, self.num_basis

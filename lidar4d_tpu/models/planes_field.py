@@ -19,7 +19,7 @@ from itertools import combinations
 import jax
 import jax.numpy as jnp
 
-from lidar4d_tpu.ops.grid_sample import grid_sample_2d
+from lidar4d_tpu.ops.grid_sample import bilinear_corners, grid_sample_2d
 
 _COO_COMBS = tuple(combinations(range(4), 2))
 # static: no time axis; dynamic: includes axis 3
@@ -67,15 +67,34 @@ class Planes4D:
         return params
 
     def _forward(self, params, pts, combs, comb_ids):
-        """pts: [N, 4] in [0,1]. Product over the group's planes, concat scales."""
-        outs = []
-        for planes in params:
-            acc = None
+        """pts: [N, 4] in [0,1]. Product over the group's planes, concat scales.
+
+        All (scale x plane x corner) bilinear lookups batch into ONE gather
+        from a flattened table — per-index cost dominates TPU gathers, so
+        minimizing gather op count is the efficient formulation (the naive
+        per-plane grid_sample issues 4 x len(combs) x len(scales) takes).
+        """
+        n = pts.shape[0]
+        c_dim = self.output_dim
+        tables, idxs, wgts = [], [], []
+        off = 0
+        for planes in params:  # per scale
             for comb, ci in zip(combs, comb_ids):
-                feat = grid_sample_2d(planes[ci], pts[:, list(comb)])  # [N, C]
-                acc = feat if acc is None else acc * feat
-            outs.append(acc)
-        return jnp.concatenate(outs, axis=-1)
+                g = planes[ci]  # [C, H, W]
+                _, H, W = g.shape
+                tables.append(g.reshape(c_dim, H * W).T)
+                idx, wgt = bilinear_corners(H, W, pts[:, list(comb)])
+                idxs.append(idx + off)
+                wgts.append(wgt)
+                off += H * W
+        flat = jnp.concatenate(tables, axis=0)          # [T, C]
+        idx = jnp.stack(idxs)                            # [S*P, 4, N]
+        wgt = jnp.stack(wgts)                            # [S*P, 4, N]
+        g = jnp.take(flat, idx.reshape(-1), axis=0)
+        g = g.reshape(len(params), len(combs), 4, n, c_dim)
+        bilin = jnp.sum(g * wgt.reshape(len(params), len(combs), 4, n, 1), axis=2)
+        prod = jnp.prod(bilin, axis=1)                   # [S, N, C]
+        return prod.transpose(1, 0, 2).reshape(n, len(params) * c_dim)
 
     def forward_static(self, params, pts):
         ids = [_COO_COMBS.index(c) for c in _STATIC_COMBS]

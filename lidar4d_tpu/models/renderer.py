@@ -26,6 +26,67 @@ import jax
 import jax.numpy as jnp
 
 
+def sample_pdf(z_mid, weights, n_samples, key=None):
+    """Inverse-CDF importance sampling of z values (vectorized, static shapes).
+
+    Args:
+      z_mid:   [N, C] bin centers (sorted along -1).
+      weights: [N, C] nonnegative importance of each bin.
+      n_samples: number of fine samples per ray.
+      key: PRNG key for stratified jitter; None = deterministic midpoints.
+
+    Returns [N, n_samples] z values (unsorted).
+    """
+    n, c = weights.shape
+    pdf = weights + 1e-5
+    pdf = pdf / jnp.sum(pdf, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros((n, 1), cdf.dtype), cdf], axis=-1)  # [N, C+1]
+
+    u = (jnp.arange(n_samples, dtype=jnp.float32) + 0.5) / n_samples
+    u = jnp.broadcast_to(u, (n, n_samples))
+    if key is not None:
+        u = u + (jax.random.uniform(key, (n, n_samples)) - 0.5) / n_samples
+        u = jnp.clip(u, 1e-6, 1.0 - 1e-6)
+
+    # interval of each u: #cdf entries <= u  (broadcasted compare-sum beats
+    # searchsorted's while-loop lowering on TPU at these sizes)
+    below = jnp.sum(u[:, :, None] >= cdf[:, None, :], axis=-1) - 1  # [N, S]
+    below = jnp.clip(below, 0, c - 1)
+    cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_hi = jnp.take_along_axis(cdf, below + 1, axis=-1)
+    z_lo = jnp.take_along_axis(z_mid, below, axis=-1)
+    z_hi = jnp.take_along_axis(
+        z_mid, jnp.clip(below + 1, 0, c - 1), axis=-1
+    )
+    denom = jnp.maximum(cdf_hi - cdf_lo, 1e-8)
+    frac = (u - cdf_lo) / denom
+    return z_lo + frac * (z_hi - z_lo)
+
+
+def _composite_weights(cfg, sigma, z_vals, sample_dist):
+    """Alpha compositing weights (renderer.py:98-104). sigma/z_vals [N, T]."""
+    n = sigma.shape[0]
+    deltas = z_vals[:, 1:] - z_vals[:, :-1]
+    deltas = jnp.concatenate(
+        [deltas, jnp.full((n, 1), sample_dist, deltas.dtype)], axis=-1
+    )
+    exponent = 2.0 if cfg.active_sensor else 1.0
+    alphas = 1.0 - jnp.exp(-exponent * deltas * cfg.density_scale * sigma)
+    shifted = jnp.concatenate(
+        [jnp.ones((n, 1), alphas.dtype), 1.0 - alphas + 1e-15], axis=-1
+    )
+    return alphas * jnp.cumprod(shifted, axis=-1)[:, :-1]  # [N, T]
+
+
+def _query_density(field, params, rays_o, rays_d, z_vals, t, bound):
+    n, steps = z_vals.shape
+    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    xyz = jnp.clip(xyz, -bound, bound)
+    dens = field.density(params, xyz.reshape(-1, 3), t)
+    return dens["sigma"].reshape(n, steps), dens["geo_feat"].reshape(n, steps, -1)
+
+
 def render_rays(
     field,
     params,
@@ -36,6 +97,8 @@ def render_rays(
     num_steps=768,
     perturb=False,
     with_aux=True,
+    num_coarse=0,
+    num_fine=0,
 ):
     """Render a batch of rays through the field.
 
@@ -45,6 +108,12 @@ def render_rays(
       t: traced scalar time in [0, 1].
       key: PRNG key (required if perturb).
       with_aux: also return per-sample weights / z_vals (training losses).
+      num_coarse/num_fine: if num_coarse > 0, use two-pass hierarchical
+        importance sampling (num_coarse uniform + num_fine inverse-CDF
+        samples, features merged) instead of the reference's `num_steps`
+        uniform samples (renderer.py:77-79). LiDAR returns are sharply
+        peaked in depth, so ~4x fewer samples concentrate where the surface
+        is — the TPU-first answer to the gather-bound density query.
 
     Returns dict(depth [N], image [N, 2], weights_sum [N], and optionally
     weights [N, T], z_vals [N, T]).
@@ -52,34 +121,51 @@ def render_rays(
     cfg = field.cfg
     n = rays_o.shape[0]
     near, far = cfg.near_lidar, cfg.far_lidar
-
-    z = jnp.linspace(0.0, 1.0, num_steps, dtype=jnp.float32)
-    z_vals = near + (far - near) * z  # [T]
-    z_vals = jnp.broadcast_to(z_vals, (n, num_steps))
-    sample_dist = (far - near) / num_steps
-    if perturb:
-        z_vals = z_vals + (
-            jax.random.uniform(key, (n, num_steps)) - 0.5
-        ) * sample_dist
-
-    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]  # [N,T,3]
     bound = cfg.bound
-    xyz = jnp.clip(xyz, -bound, bound)
 
-    dens = field.density(params, xyz.reshape(-1, 3), t)
-    sigma = dens["sigma"].reshape(n, num_steps)
-    geo = dens["geo_feat"].reshape(n, num_steps, -1)
+    if num_coarse > 0:
+        k1 = k2 = k3 = None
+        if key is not None:
+            k1, k2, k3 = jax.random.split(key, 3)
+        zc = near + (far - near) * jnp.linspace(0.0, 1.0, num_coarse)
+        zc = jnp.broadcast_to(zc, (n, num_coarse))
+        dist_c = (far - near) / num_coarse
+        if perturb:
+            zc = zc + (jax.random.uniform(k1, (n, num_coarse)) - 0.5) * dist_c
+        sigma_c, geo_c = _query_density(field, params, rays_o, rays_d, zc, t, bound)
+        w_c = jax.lax.stop_gradient(
+            _composite_weights(cfg, sigma_c, zc, dist_c)
+        )
+        zf = sample_pdf(zc, w_c, num_fine, key=k2 if perturb else None)
+        sigma_f, geo_f = _query_density(field, params, rays_o, rays_d, zf, t, bound)
 
-    deltas = z_vals[:, 1:] - z_vals[:, :-1]
-    deltas = jnp.concatenate(
-        [deltas, jnp.full((n, 1), sample_dist, deltas.dtype)], axis=-1
-    )
-    exponent = 2.0 if cfg.active_sensor else 1.0
-    alphas = 1.0 - jnp.exp(-exponent * deltas * cfg.density_scale * sigma)
-    shifted = jnp.concatenate(
-        [jnp.ones((n, 1), alphas.dtype), 1.0 - alphas + 1e-15], axis=-1
-    )
-    weights = alphas * jnp.cumprod(shifted, axis=-1)[:, :-1]  # [N, T]
+        z_all = jnp.concatenate([zc, zf], axis=-1)
+        order = jnp.argsort(z_all, axis=-1)
+        z_vals = jnp.take_along_axis(z_all, order, axis=-1)
+        sigma = jnp.take_along_axis(
+            jnp.concatenate([sigma_c, sigma_f], -1), order, axis=-1
+        )
+        geo = jnp.take_along_axis(
+            jnp.concatenate([geo_c, geo_f], 1), order[..., None], axis=1
+        )
+        num_steps = num_coarse + num_fine
+        sample_dist = (far - near) / num_steps
+        xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        xyz = jnp.clip(xyz, -bound, bound)
+    else:
+        z = jnp.linspace(0.0, 1.0, num_steps, dtype=jnp.float32)
+        z_vals = near + (far - near) * z  # [T]
+        z_vals = jnp.broadcast_to(z_vals, (n, num_steps))
+        sample_dist = (far - near) / num_steps
+        if perturb:
+            z_vals = z_vals + (
+                jax.random.uniform(key, (n, num_steps)) - 0.5
+            ) * sample_dist
+        sigma, geo = _query_density(field, params, rays_o, rays_d, z_vals, t, bound)
+        xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        xyz = jnp.clip(xyz, -bound, bound)
+
+    weights = _composite_weights(cfg, sigma, z_vals, sample_dist)
 
     mask = (weights > 1e-4).reshape(-1)
     dirs = jnp.broadcast_to(rays_d[:, None, :], xyz.shape).reshape(-1, 3)
@@ -97,8 +183,10 @@ def render_rays(
     return out
 
 
-@partial(jax.jit, static_argnames=("field", "num_steps", "chunk"))
-def render_staged(field, params, rays_o, rays_d, t, num_steps=768, chunk=4096):
+@partial(jax.jit, static_argnames=("field", "num_steps", "chunk", "num_coarse",
+                                   "num_fine"))
+def render_staged(field, params, rays_o, rays_d, t, num_steps=768, chunk=4096,
+                  num_coarse=0, num_fine=0):
     """Full-frame inference rendering in fixed-size chunks (renderer.py:159-181).
 
     rays_o/rays_d: [N, 3] with N arbitrary; output has the same N.
@@ -117,7 +205,7 @@ def render_staged(field, params, rays_o, rays_d, t, num_steps=768, chunk=4096):
         o, d = args
         r = render_rays(
             field, params, o, d, t, num_steps=num_steps, perturb=False,
-            with_aux=False,
+            with_aux=False, num_coarse=num_coarse, num_fine=num_fine,
         )
         return r["depth_lidar"], r["image_lidar"]
 

@@ -13,6 +13,30 @@ We skip the [-1,1] round-trip: `grid_sample_2d` takes coordinates directly in
 import jax.numpy as jnp
 
 
+def bilinear_corners(H, W, coords):
+    """Corner flat indices + bilinear weights (align_corners=True, border clamp).
+
+    Args:
+      coords: [N, 2] in [0, 1]; coords[:, 0] indexes W, coords[:, 1] indexes H.
+    Returns:
+      idx [4, N] int32 flat row-major indices, wgt [4, N] float32 — corner
+      order (y0x0, y0x1, y1x0, y1x1).
+    """
+    x = jnp.clip(coords[:, 0], 0.0, 1.0) * (W - 1)
+    y = jnp.clip(coords[:, 1], 0.0, 1.0) * (H - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+    idx = jnp.stack([y0i * W + x0i, y0i * W + x1i, y1i * W + x0i, y1i * W + x1i])
+    wgt = jnp.stack([(1 - tx) * (1 - ty), tx * (1 - ty), (1 - tx) * ty, tx * ty])
+    return idx, wgt
+
+
 def grid_sample_2d(grid, coords):
     """Sample a 2D feature grid bilinearly.
 
@@ -26,27 +50,7 @@ def grid_sample_2d(grid, coords):
       [N, C] interpolated features.
     """
     C, H, W = grid.shape
-    x = jnp.clip(coords[:, 0], 0.0, 1.0) * (W - 1)
-    y = jnp.clip(coords[:, 1], 0.0, 1.0) * (H - 1)
-
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    tx = x - x0
-    ty = y - y0
-
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
-    x1i = jnp.clip(x0i + 1, 0, W - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
-    y1i = jnp.clip(y0i + 1, 0, H - 1)
-
+    idx, wgt = bilinear_corners(H, W, coords)
     flat = grid.reshape(C, H * W).T  # [H*W, C]
-    g00 = flat[y0i * W + x0i]
-    g01 = flat[y0i * W + x1i]
-    g10 = flat[y1i * W + x0i]
-    g11 = flat[y1i * W + x1i]
-
-    tx = tx[:, None]
-    ty = ty[:, None]
-    top = g00 * (1 - tx) + g01 * tx
-    bot = g10 * (1 - tx) + g11 * tx
-    return top * (1 - ty) + bot * ty
+    g = jnp.take(flat, idx.reshape(-1), axis=0).reshape(4, -1, C)
+    return jnp.sum(g * wgt[:, :, None], axis=0)

@@ -149,19 +149,63 @@ def hash_encode(spec: HashEncoderSpec, table, x, row_offset=None):
 
     Returns:
       [N, L * F] float32 features.
+
+    All L x 2^d corner lookups are batched into ONE gather: XLA's TPU gather
+    emitter amortizes per-op overhead over the full 50M-row index set, which
+    is decisively faster than the naive per-level/per-corner `take` chain
+    (Mosaic has no large-table row-gather primitive, so this is the
+    TPU-native formulation — see tpu.dynamic_gather's take_along_axis-only
+    support in pallas/mosaic/lowering.py).
     """
-    outs = []
+    n = x.shape[0]
+    n_corners = 1 << spec.n_dims
+    idx_all, wgt_all = [], []
     for level in range(spec.n_levels):
         idxs, wgts = _level_indices(spec, x, level)
-        acc = None
-        for idx, w in zip(idxs, wgts):
-            if row_offset is not None:
-                idx = idx + row_offset
-            g = jnp.take(table, idx, axis=0)  # [N, F]
-            term = g * w[:, None]
-            acc = term if acc is None else acc + term
-        outs.append(acc)
-    return jnp.concatenate(outs, axis=-1)
+        idx_all.extend(idxs)
+        wgt_all.extend(wgts)
+    idx = jnp.stack(idx_all)  # [L * C, N]
+    wgt = jnp.stack(wgt_all)  # [L * C, N]
+    if row_offset is not None:
+        idx = idx + row_offset
+    g = jnp.take(table, idx.reshape(-1), axis=0)  # [L * C * N, F]
+    g = g.reshape(spec.n_levels, n_corners, n, spec.n_features)
+    acc = jnp.sum(g * wgt.reshape(spec.n_levels, n_corners, n, 1), axis=1)
+    return acc.transpose(1, 0, 2).reshape(n, spec.n_levels * spec.n_features)
+
+
+def hash_encode_blend(spec: HashEncoderSpec, table, x, row_offsets, blend):
+    """Blend of K grid lookups sharing corner indices, in ONE gather.
+
+    Used for the time-indexed grid stacks (HashGridT, hash_field.py:79-85):
+    the K grids (e.g. floor/ceil time grids) see the same spatial corner
+    indices, so the K x L x 2^d lookups batch into a single `take` and the
+    per-grid blend happens on the gathered values.
+
+    Args:
+      table:       [n_grids * n_rows, F] stacked grids.
+      row_offsets: [K] traced int32 row offsets (grid_index * n_rows).
+      blend:       [K] traced float32 blend weights.
+
+    Returns [N, L * F].
+    """
+    n = x.shape[0]
+    k = row_offsets.shape[0]
+    n_corners = 1 << spec.n_dims
+    idx_all, wgt_all = [], []
+    for level in range(spec.n_levels):
+        idxs, wgts = _level_indices(spec, x, level)
+        idx_all.extend(idxs)
+        wgt_all.extend(wgts)
+    idx = jnp.stack(idx_all)  # [L * C, N]
+    wgt = jnp.stack(wgt_all)  # [L * C, N]
+    idx_k = idx[None, :, :] + row_offsets[:, None, None]  # [K, L*C, N]
+    g = jnp.take(table, idx_k.reshape(-1), axis=0)
+    g = g.reshape(k, spec.n_levels * n_corners, n, spec.n_features)
+    g = jnp.sum(g * blend[:, None, None, None], axis=0)  # [L*C, N, F]
+    g = g.reshape(spec.n_levels, n_corners, n, spec.n_features)
+    acc = jnp.sum(g * wgt.reshape(spec.n_levels, n_corners, n, 1), axis=1)
+    return acc.transpose(1, 0, 2).reshape(n, spec.n_levels * spec.n_features)
 
 
 @lru_cache(maxsize=None)

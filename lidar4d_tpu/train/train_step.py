@@ -201,6 +201,8 @@ def make_train_step(
     num_steps=768,
     patch_size=1,
     mesh=None,
+    num_coarse=0,
+    num_fine=0,
 ):
     """Build a jitted train step for one sampling mode.
 
@@ -245,6 +247,7 @@ def make_train_step(
         out = render_rays(
             field, params, rays_o, rays_d, t,
             key=k_perturb, num_steps=num_steps, perturb=True, with_aux=True,
+            num_coarse=num_coarse, num_fine=num_fine,
         )
         pred_raydrop = out["image_lidar"][:, 0]
         pred_intensity = out["image_lidar"][:, 1] * gt_raydrop

@@ -118,6 +118,8 @@ class Trainer:
                 num_steps=self.opt.num_steps,
                 patch_size=patch_size,
                 mesh=self.mesh,
+                num_coarse=getattr(self.opt, "num_coarse", 0),
+                num_fine=getattr(self.opt, "num_fine", 0),
             )
         return self._steps[key]
 
@@ -204,6 +206,8 @@ class Trainer:
         out = render_staged(
             self.field, params, rays["rays_o"], rays["rays_d"],
             jnp.float32(frame["time"]), num_steps=self.opt.num_steps,
+            num_coarse=getattr(self.opt, "num_coarse", 0),
+            num_fine=getattr(self.opt, "num_fine", 0),
         )
         pred_raydrop = np.asarray(out["image_lidar"][:, 0]).reshape(H, W)
         pred_intensity = np.asarray(out["image_lidar"][:, 1]).reshape(H, W)

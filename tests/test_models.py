@@ -228,3 +228,39 @@ def test_unet_differentiable():
     g = jax.grad(loss)(variables["params"])
     total = sum(jax.tree.leaves(jax.tree.map(lambda a: float(jnp.abs(a).sum()), g)))
     assert np.isfinite(total) and total > 0
+
+
+# ------------------------------------------------------- hierarchical sampling
+def test_sample_pdf_concentrates_at_peak():
+    from lidar4d_tpu.models.renderer import sample_pdf
+
+    z = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 32), (4, 32))
+    w = jnp.zeros((4, 32)).at[:, 16].set(1.0)
+    zf = sample_pdf(z, w, 16)
+    assert abs(float(zf.mean()) - 16 / 31) < 0.05
+    # deterministic without key, jittered with key
+    zf2 = sample_pdf(z, w, 16)
+    np.testing.assert_array_equal(zf, zf2)
+    zf3 = sample_pdf(z, w, 16, key=jax.random.PRNGKey(0))
+    assert not np.allclose(zf, zf3)
+
+
+def test_hierarchical_matches_uniform_render(tiny_field):
+    field, params = tiny_field
+    ro = jnp.zeros((8, 3))
+    rd = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (8, 1))
+    t = jnp.float32(0.4)
+    out_u = render_rays(field, params, ro, rd, t, num_steps=128)
+    out_h = render_rays(field, params, ro, rd, t, num_coarse=32, num_fine=32)
+    assert bool(jnp.all(jnp.diff(out_h["z_vals"], axis=-1) >= 0))
+    np.testing.assert_allclose(
+        out_h["depth_lidar"], out_u["depth_lidar"], rtol=0.05, atol=1e-3
+    )
+    g = jax.grad(
+        lambda p: jnp.sum(
+            render_rays(field, p, ro, rd, t, num_coarse=16, num_fine=16)[
+                "depth_lidar"
+            ]
+        )
+    )(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
