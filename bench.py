@@ -31,8 +31,8 @@ CACHE = os.path.join(ROOT, "flow_cache.npz")
 
 NUM_RAYS = 1024
 NUM_STEPS = 768
-WARMUP = 3
-ITERS = 20
+WARMUP = 2
+ITERS = 5
 
 
 def get_dataset():

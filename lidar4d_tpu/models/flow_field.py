@@ -19,10 +19,10 @@ import numpy as np
 
 from lidar4d_tpu.ops.hash_enc import (
     HashEncoderSpec,
-    hash_encode,
     init_hash_table,
     lagrange_time_interp,
 )
+from lidar4d_tpu.ops.hash_onehot import hash_encode_auto
 from lidar4d_tpu.ops.mlp import apply_mlp, init_mlp
 
 
@@ -93,7 +93,9 @@ class FlowField:
             t_col = jnp.full((x.shape[0], 1), t, x.dtype)
             h.append(freq_embed(jnp.concatenate([x, t_col], -1), self.num_freqs))
         if self.use_grid:
-            g = hash_encode(self.grid_spec, params["grid"], jnp.clip(x, 0.0, 1.0))
+            g = hash_encode_auto(
+                self.grid_spec, params["grid"], jnp.clip(x, 0.0, 1.0)
+            )
             g = lagrange_time_interp(
                 g, t, self.n_levels, self.n_features_per_level, self.num_basis
             )

@@ -76,25 +76,26 @@ class Planes4D:
         """
         n = pts.shape[0]
         c_dim = self.output_dim
-        tables, idxs, wgts = [], [], []
-        off = 0
+        # One take per (scale, plane): the 4 corner lookups batch into a
+        # single [C, 4N] axis-1 gather. Fusing further (all scales/planes in
+        # one take) makes XLA materialize the gather output in a
+        # [4*P*S*N, C] layout whose C-minor tile padding costs 16x the
+        # logical size in HBM (observed 19.3 GB at N=786k) — per-plane
+        # granularity keeps transients at [C, 4N] with no padding.
+        outs = []
         for planes in params:  # per scale
+            acc = None
             for comb, ci in zip(combs, comb_ids):
                 g = planes[ci]  # [C, H, W]
                 _, H, W = g.shape
-                tables.append(g.reshape(c_dim, H * W).T)
                 idx, wgt = bilinear_corners(H, W, pts[:, list(comb)])
-                idxs.append(idx + off)
-                wgts.append(wgt)
-                off += H * W
-        flat = jnp.concatenate(tables, axis=0)          # [T, C]
-        idx = jnp.stack(idxs)                            # [S*P, 4, N]
-        wgt = jnp.stack(wgts)                            # [S*P, 4, N]
-        g = jnp.take(flat, idx.reshape(-1), axis=0)
-        g = g.reshape(len(params), len(combs), 4, n, c_dim)
-        bilin = jnp.sum(g * wgt.reshape(len(params), len(combs), 4, n, 1), axis=2)
-        prod = jnp.prod(bilin, axis=1)                   # [S, N, C]
-        return prod.transpose(1, 0, 2).reshape(n, len(params) * c_dim)
+                got = jnp.take(g.reshape(c_dim, H * W), idx.reshape(-1), axis=1)
+                feat = jnp.sum(got.reshape(c_dim, 4, n) * wgt[None], axis=1)
+                acc = feat if acc is None else acc * feat
+            outs.append(acc)                             # [C, N] each
+        return jnp.concatenate(outs, axis=0).reshape(
+            len(params), c_dim, n
+        ).transpose(2, 0, 1).reshape(n, len(params) * c_dim)
 
     def forward_static(self, params, pts):
         ids = [_COO_COMBS.index(c) for c in _STATIC_COMBS]

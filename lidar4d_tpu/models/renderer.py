@@ -79,12 +79,42 @@ def _composite_weights(cfg, sigma, z_vals, sample_dist):
     return alphas * jnp.cumprod(shifted, axis=-1)[:, :-1]  # [N, T]
 
 
+# Max field-query points per inner chunk. Two memory pathologies force this:
+# XLA materializes every encoder gather as [num_indices, F<128] row-major,
+# which the (8, 128) tile layout pads 16-32x, and without remat each of the
+# ~40 gathers in a step stays alive as a backward residual (observed 50-60 GB
+# at the reference config). Chunking + per-chunk remat bounds transients to
+# ~0.5 GB regardless of total sample count.
+_DENSITY_CHUNK = 32768
+
+
 def _query_density(field, params, rays_o, rays_d, z_vals, t, bound):
     n, steps = z_vals.shape
     xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-    xyz = jnp.clip(xyz, -bound, bound)
-    dens = field.density(params, xyz.reshape(-1, 3), t)
-    return dens["sigma"].reshape(n, steps), dens["geo_feat"].reshape(n, steps, -1)
+    xyz = jnp.clip(xyz, -bound, bound).reshape(-1, 3)
+    m = xyz.shape[0]
+
+    density = jax.checkpoint(
+        lambda p, xx: field.density(p, xx, t), prevent_cse=False
+    )
+
+    if m <= _DENSITY_CHUNK:
+        dens = density(params, xyz)
+        sigma, geo = dens["sigma"], dens["geo_feat"]
+    else:
+        pad = (-m) % _DENSITY_CHUNK
+        if pad:
+            xyz = jnp.concatenate([xyz, jnp.zeros((pad, 3), xyz.dtype)], 0)
+        chunks = xyz.reshape(-1, _DENSITY_CHUNK, 3)
+
+        def one(xx):
+            d = density(params, xx)
+            return d["sigma"], d["geo_feat"]
+
+        sigma, geo = jax.lax.map(one, chunks)
+        sigma = sigma.reshape(-1)[:m]
+        geo = geo.reshape(-1, geo.shape[-1])[:m]
+    return sigma.reshape(n, steps), geo.reshape(n, steps, -1)
 
 
 def render_rays(

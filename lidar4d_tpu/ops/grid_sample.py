@@ -51,6 +51,6 @@ def grid_sample_2d(grid, coords):
     """
     C, H, W = grid.shape
     idx, wgt = bilinear_corners(H, W, coords)
-    flat = grid.reshape(C, H * W).T  # [H*W, C]
-    g = jnp.take(flat, idx.reshape(-1), axis=0).reshape(4, -1, C)
-    return jnp.sum(g * wgt[:, :, None], axis=0)
+    flat = grid.reshape(C, H * W)
+    g = jnp.take(flat, idx.reshape(-1), axis=1).reshape(C, 4, -1)
+    return jnp.sum(g * wgt[None], axis=1).T

@@ -168,10 +168,14 @@ def hash_encode(spec: HashEncoderSpec, table, x, row_offset=None):
     wgt = jnp.stack(wgt_all)  # [L * C, N]
     if row_offset is not None:
         idx = idx + row_offset
-    g = jnp.take(table, idx.reshape(-1), axis=0)  # [L * C * N, F]
-    g = g.reshape(spec.n_levels, n_corners, n, spec.n_features)
-    acc = jnp.sum(g * wgt.reshape(spec.n_levels, n_corners, n, 1), axis=1)
-    return acc.transpose(1, 0, 2).reshape(n, spec.n_levels * spec.n_features)
+    # gather along axis 1 of the transposed table: the result's LAST dim is
+    # the huge one, so the (8, 128) TPU tile layout doesn't pad the tiny
+    # feature dim 128-wide (a [M, F<8] gather output would cost 16-32x its
+    # logical size in HBM)
+    g = jnp.take(table.T, idx.reshape(-1), axis=1)  # [F, L*C*N]
+    g = g.reshape(spec.n_features, spec.n_levels, n_corners, n)
+    acc = jnp.sum(g * wgt.reshape(1, spec.n_levels, n_corners, n), axis=2)
+    return acc.transpose(2, 1, 0).reshape(n, spec.n_levels * spec.n_features)
 
 
 def hash_encode_blend(spec: HashEncoderSpec, table, x, row_offsets, blend):
@@ -200,12 +204,13 @@ def hash_encode_blend(spec: HashEncoderSpec, table, x, row_offsets, blend):
     idx = jnp.stack(idx_all)  # [L * C, N]
     wgt = jnp.stack(wgt_all)  # [L * C, N]
     idx_k = idx[None, :, :] + row_offsets[:, None, None]  # [K, L*C, N]
-    g = jnp.take(table, idx_k.reshape(-1), axis=0)
-    g = g.reshape(k, spec.n_levels * n_corners, n, spec.n_features)
-    g = jnp.sum(g * blend[:, None, None, None], axis=0)  # [L*C, N, F]
-    g = g.reshape(spec.n_levels, n_corners, n, spec.n_features)
-    acc = jnp.sum(g * wgt.reshape(spec.n_levels, n_corners, n, 1), axis=1)
-    return acc.transpose(1, 0, 2).reshape(n, spec.n_levels * spec.n_features)
+    # transposed gather: see hash_encode for the tile-padding rationale
+    g = jnp.take(table.T, idx_k.reshape(-1), axis=1)
+    g = g.reshape(spec.n_features, k, spec.n_levels * n_corners, n)
+    g = jnp.sum(g * blend[None, :, None, None], axis=1)  # [F, L*C, N]
+    g = g.reshape(spec.n_features, spec.n_levels, n_corners, n)
+    acc = jnp.sum(g * wgt.reshape(1, spec.n_levels, n_corners, n), axis=2)
+    return acc.transpose(2, 1, 0).reshape(n, spec.n_levels * spec.n_features)
 
 
 @lru_cache(maxsize=None)

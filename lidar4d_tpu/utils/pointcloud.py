@@ -37,11 +37,23 @@ def range_filter(pcd, dist_min=1, dist_max=50, z_limit=(-2.5, 4)):
     return pcd[mask]
 
 
-def statistical_outlier_removal(points, nb_neighbors=64, std_ratio=3.0):
-    """open3d remove_statistical_outlier semantics via cKDTree kNN."""
+def statistical_outlier_removal(points, nb_neighbors=64, std_ratio=3.0,
+                                use_native=True):
+    """open3d remove_statistical_outlier semantics.
+
+    Dispatches to the C++ grid-kNN extension (lidar4d_tpu.native) when built —
+    the host side of the flow-cache build is this function's kNN — with the
+    scipy cKDTree path as fallback.
+    """
     n = points.shape[0]
     if n <= nb_neighbors:
         return points
+    if use_native:
+        from lidar4d_tpu import native
+
+        if native.available():
+            mask = native.knn_outlier_mask_native(points, nb_neighbors, std_ratio)
+            return points[mask]
     tree = cKDTree(points)
     # k+1 because the closest neighbor of each point is itself
     dists, _ = tree.query(points, k=nb_neighbors + 1)

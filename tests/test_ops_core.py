@@ -321,3 +321,29 @@ def test_mlp_shapes_and_grad():
     assert y.shape == (32, 6) and y.dtype == jnp.float32
     g = jax.grad(lambda p: jnp.sum(apply_mlp(p, x) ** 2))(params)
     assert all(gi.shape == pi.shape for gi, pi in zip(g, params))
+
+
+# ------------------------------------------------------- one-hot MXU encoder
+def test_hash_encode_onehot_matches_gather():
+    """Pallas one-hot path (interpret mode on CPU) vs the XLA gather path."""
+    from lidar4d_tpu.ops.hash_onehot import hash_encode_onehot, onehot_eligible
+
+    spec = HashEncoderSpec(
+        n_dims=3, n_levels=4, n_features=8, log2_hashmap_size=10,
+        base_resolution=8, max_resolution=64,
+    )
+    assert onehot_eligible(spec)
+    table = init_hash_table(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (300, 3))
+    ref = np.asarray(hash_encode(spec, table, x))
+    out = np.asarray(hash_encode_onehot(spec, table, x))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out, ref, atol=2e-2 * scale)
+
+    # table gradient matches the gather path's (bf16 matmul tolerance)
+    w = jnp.sin(jnp.arange(ref.size).reshape(ref.shape) * 0.37)
+    g_oh = jax.grad(lambda t: jnp.sum(hash_encode_onehot(spec, t, x) * w))(table)
+    g_ref = jax.grad(lambda t: jnp.sum(hash_encode(spec, t, x) * w))(table)
+    gscale = float(jnp.abs(g_ref).max())
+    np.testing.assert_allclose(np.asarray(g_oh), np.asarray(g_ref),
+                               atol=2e-2 * gscale)
