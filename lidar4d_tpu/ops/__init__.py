@@ -1,6 +1,13 @@
 from .trunc_exp import trunc_exp
 from .grid_sample import grid_sample_2d
-from .hash_enc import HashEncoderSpec, hash_encode, init_hash_table
+from .hash_enc import (
+    HashEncoderSpec,
+    hash_encode,
+    hash_encode_blend,
+    init_hash_table,
+    lagrange_time_interp,
+)
+from .hash_onehot import hash_encode_auto, hash_encode_onehot
 from .chamfer import chamfer_distance, chamfer_loss
 from .pano import (
     lidar_to_pano_with_intensities,
@@ -16,6 +23,10 @@ __all__ = [
     "grid_sample_2d",
     "HashEncoderSpec",
     "hash_encode",
+    "hash_encode_blend",
+    "hash_encode_auto",
+    "hash_encode_onehot",
+    "lagrange_time_interp",
     "init_hash_table",
     "chamfer_distance",
     "chamfer_loss",

@@ -1,3 +1,3 @@
-from .mesh import make_mesh, shard_rays, replicate
+from .mesh import gather_rays, make_mesh, replicate, shard_rays
 
-__all__ = ["make_mesh", "shard_rays", "replicate"]
+__all__ = ["gather_rays", "make_mesh", "replicate", "shard_rays"]

@@ -59,6 +59,17 @@ class Trainer:
         self.log_path = os.path.join(workspace, f"log_{name}.txt")
         self.metrics_path = os.path.join(workspace, f"metrics_{name}.jsonl")
 
+        # tensorboard scalars (runner.py:113-114,516-522,675-676)
+        self.writer = None
+        try:
+            import tensorboardX
+
+            self.writer = tensorboardX.SummaryWriter(
+                os.path.join(workspace, "run", name)
+            )
+        except ImportError:
+            pass
+
         self.epoch = 0
         self.global_step = 0
         self.stats = {"loss": [], "valid_loss": [], "results": [], "best_result": None}
@@ -164,6 +175,12 @@ class Trainer:
         total_loss = 0.0
         t0 = time.perf_counter()
         last_metrics = None
+
+        # --profile: trace this epoch's steps (xplane, view with tensorboard)
+        profiling = getattr(self.opt, "profile", False) and self.epoch == 2
+        if profiling:
+            jax.profiler.start_trace(os.path.join(self.workspace, "profile"))
+
         for i in order:
             frame = jax.tree.map(jnp.asarray, dataset.frame(int(i)))
             self.state, metrics = step_fn(
@@ -171,6 +188,11 @@ class Trainer:
             )
             self.global_step += 1
             last_metrics = metrics
+
+        if profiling:
+            jax.block_until_ready(last_metrics["loss"])
+            jax.profiler.stop_trace()
+            self.log(f"[INFO] profile trace saved to {self.workspace}/profile")
         # block on the last step for honest timing
         loss_val = float(last_metrics["loss"])
         dt = time.perf_counter() - t0
@@ -189,6 +211,11 @@ class Trainer:
         self.log_metrics(
             {"epoch": self.epoch, "loss": loss_val, "rays_per_sec": rays_per_sec}
         )
+        if self.writer is not None:
+            self.writer.add_scalar("train/loss", loss_val, self.global_step)
+            self.writer.add_scalar(
+                "train/rays_per_sec", rays_per_sec, self.global_step
+            )
 
     # ------------------------------------------------------------------ eval
     def _eval_params(self):
@@ -261,6 +288,8 @@ class Trainer:
             self.stats["results"].append(float(result))
         for meter in self.lidar_metrics:
             self.log(meter.report())
+            if self.writer is not None:
+                meter.write(self.writer, self.global_step, prefix="evaluate")
         self.log(f"++> Evaluate epoch {self.epoch} Finished.")
 
     def _save_validation_panel(self, name, idx, raydrop, intensity, depth, mask):
