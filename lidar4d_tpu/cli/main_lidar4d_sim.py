@@ -54,6 +54,14 @@ def get_sim_arg_parser():
     p.add_argument("--n_levels_hash", type=int, default=8)
     p.add_argument("--n_features_per_level_hash", type=int, default=4)
     p.add_argument("--log2_hashmap_size", type=int, default=19)
+    p.add_argument("--hash_size_dynamic", type=int, nargs=3, default=[15, 13, 13])
+    p.add_argument("--flow_n_levels", type=int, default=8)
+    p.add_argument("--flow_n_features", type=int, default=8)
+    p.add_argument("--flow_log2_hashmap_size", type=int, default=18)
+    p.add_argument("--flow_base_resolution", type=int, default=32)
+    p.add_argument("--flow_max_resolution", type=int, default=8192)
+    p.add_argument("--num_coarse", type=int, default=0)
+    p.add_argument("--num_fine", type=int, default=0)
     p.add_argument("--num_layers_flow", type=int, default=3)
     p.add_argument("--hidden_dim_flow", type=int, default=64)
     p.add_argument("--num_layers_sigma", type=int, default=2)

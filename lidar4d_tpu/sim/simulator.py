@@ -102,6 +102,8 @@ class Simulator:
                 self.field, self.params,
                 jnp.asarray(rays_o[i]), jnp.asarray(rays_d[i]),
                 jnp.float32(times[i]), num_steps=self.opt.num_steps,
+                num_coarse=getattr(self.opt, "num_coarse", 0),
+                num_fine=getattr(self.opt, "num_fine", 0),
             )
             raydrop = np.asarray(out["image_lidar"][:, 0]).reshape(H, W)
             intensity = np.asarray(out["image_lidar"][:, 1]).reshape(H, W)
