@@ -100,9 +100,9 @@ def main():
         cfg = LiDAR4DConfig(
             num_frames=FRAMES, near_lidar=1.0 * scale, far_lidar=81.0 * scale,
             n_levels_hash=6, n_features_per_level_hash=8,
-            log2_hashmap_size=12, base_resolution=64, max_resolution=2048,
-            hash_size_dynamic=(12, 11, 11),
-            flow_n_levels=4, flow_n_features=8, flow_log2_hashmap_size=12,
+            log2_hashmap_size=11, base_resolution=64, max_resolution=2048,
+            hash_size_dynamic=(11, 10, 10),
+            flow_n_levels=4, flow_n_features=8, flow_log2_hashmap_size=11,
             flow_base_resolution=16, flow_max_resolution=256,
         )
     field = LiDAR4DField(cfg)

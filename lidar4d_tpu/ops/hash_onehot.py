@@ -40,48 +40,47 @@ def _interpret():
 
 
 def _block_n(r):
-    """Point-block size: keep the [BN, R] bf16 one-hot tile <= ~4 MB VMEM."""
-    target = (2 * 1024 * 1024) // max(r, 1)
+    """Point-block size: keep the [BN, R] one-hot tile around ~1 MB VMEM."""
+    target = (1024 * 1024) // max(r, 1)
     return int(max(256, min(2048, (target // _LANE) * _LANE)))
 
 
-def _fwd_kernel(idx_ref, wgt_ref, tab_ref, out_ref):
-    """Grid (L, NB). Blocks: idx/wgt [1, 8, BN], tab [1, F, R], out [F, BN]."""
-    bn = idx_ref.shape[2]
-    r = tab_ref.shape[2]
+def _build_onehot(idx_ref, wgt_ref, oh_ref):
+    """Accumulate the weighted one-hot [BN, R] into a VMEM scratch.
+
+    Unrolled over the 8 corners for VPU throughput (a fori_loop costs ~2x),
+    accumulating IN PLACE via the scratch ref so the Mosaic stack holds one
+    [BN, R] buffer instead of 8 live temps (which scoped-vmem-OOMs)."""
+    bn, r = oh_ref.shape
     iota = jax.lax.broadcasted_iota(jnp.int32, (bn, r), 1)
-    oh = jnp.zeros((bn, r), jnp.bfloat16)
+    oh_ref[:] = jnp.zeros((bn, r), jnp.bfloat16)
     for ci in range(_CPAD):
         idx = idx_ref[0, ci, :]
         wgt = wgt_ref[0, ci, :]
-        oh = oh + jnp.where(
+        oh_ref[:] = oh_ref[:] + jnp.where(
             iota == idx[:, None], wgt[:, None], 0.0
         ).astype(jnp.bfloat16)
+
+
+def _fwd_kernel(idx_ref, wgt_ref, tab_ref, out_ref, oh_ref):
+    """Grid (L, NB). Blocks: idx/wgt [1, 8, BN], tab [1, F, R], out [F, BN]."""
+    _build_onehot(idx_ref, wgt_ref, oh_ref)
     out_ref[:] = jax.lax.dot_general(
-        tab_ref[0].astype(jnp.bfloat16), oh,
+        tab_ref[0].astype(jnp.bfloat16), oh_ref[:],
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     )  # [F, BN]
 
 
-def _bwd_kernel(idx_ref, wgt_ref, cot_ref, dtab_ref):
+def _bwd_kernel(idx_ref, wgt_ref, cot_ref, dtab_ref, oh_ref):
     """Grid (L, NB), NB innermost: accumulate dtab[l] over point blocks.
 
     Blocks: idx/wgt [1, 8, BN], cot [F, BN], dtab [1, F, R].
     """
-    bn = idx_ref.shape[2]
-    r = dtab_ref.shape[2]
     b = pl.program_id(1)
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (bn, r), 1)
-    oh = jnp.zeros((bn, r), jnp.bfloat16)
-    for ci in range(_CPAD):
-        idx = idx_ref[0, ci, :]
-        wgt = wgt_ref[0, ci, :]
-        oh = oh + jnp.where(
-            iota == idx[:, None], wgt[:, None], 0.0
-        ).astype(jnp.bfloat16)
+    _build_onehot(idx_ref, wgt_ref, oh_ref)
     upd = jax.lax.dot_general(
-        cot_ref[:].astype(jnp.bfloat16), oh,
+        cot_ref[:].astype(jnp.bfloat16), oh_ref[:],
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )  # [F, R]
 
@@ -165,6 +164,7 @@ def _fwd_call(spec, packed, idx, wgt, n):
         out_specs=pl.BlockSpec((f, bn), lambda li, b: (li, b),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((l * f, nb * bn), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bn, r), jnp.bfloat16)],
         interpret=_interpret(),
     )(idx, wgt, packed)
     # [L*F, N] -> [N, L*F]
@@ -193,6 +193,7 @@ def _bwd_call(spec, idx, wgt, cot_t, n_padded):
         out_specs=pl.BlockSpec((1, f, r), lambda li, b: (li, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((l, f, r), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bn, r), jnp.bfloat16)],
         interpret=_interpret(),
     )(idx, wgt, cot_t)
 
