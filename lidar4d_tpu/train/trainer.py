@@ -116,7 +116,21 @@ class Trainer:
 
     # ------------------------------------------------------------- stepping
     def _get_step(self, dataset, patch_size):
-        key = (dataset.H_lidar, dataset.W_lidar, tuple(np.atleast_1d(patch_size)))
+        # hierarchical-sampling warmup: importance sampling needs a usable
+        # coarse density, so the first hier_warmup_iters train with the
+        # uniform sampler (same total sample count), then switch — two
+        # pre-compiled step variants, like the patch-size alternation
+        num_coarse = getattr(self.opt, "num_coarse", 0)
+        num_fine = getattr(self.opt, "num_fine", 0)
+        warmup = getattr(self.opt, "hier_warmup_iters", 0)
+        if num_coarse > 0 and self.global_step < warmup:
+            num_steps = num_coarse + num_fine
+            num_coarse = num_fine = 0
+        else:
+            num_steps = self.opt.num_steps
+
+        key = (dataset.H_lidar, dataset.W_lidar,
+               tuple(np.atleast_1d(patch_size)), num_coarse, num_fine)
         if key not in self._steps:
             self._steps[key] = make_train_step(
                 self.field,
@@ -126,11 +140,11 @@ class Trainer:
                 W=dataset.W_lidar,
                 fov_lidar=tuple(dataset.fov_lidar),
                 num_rays=self.opt.num_rays_lidar,
-                num_steps=self.opt.num_steps,
+                num_steps=num_steps,
                 patch_size=patch_size,
                 mesh=self.mesh,
-                num_coarse=getattr(self.opt, "num_coarse", 0),
-                num_fine=getattr(self.opt, "num_fine", 0),
+                num_coarse=num_coarse,
+                num_fine=num_fine,
             )
         return self._steps[key]
 
