@@ -151,6 +151,10 @@ def get_arg_parser(default_config="configs/kitti360_4950.txt"):
                         "(0 = reference uniform num_steps sampling)")
     p.add_argument("--num_fine", type=int, default=0,
                    help="hierarchical sampling: importance samples/ray")
+    p.add_argument("--flow_cloud_max_points", type=int, default=0,
+                   help="subsample flow-loss point clouds to this many "
+                        "points per frame (0 = full clouds, reference "
+                        "behavior; the flow chamfer is O(P^2))")
     p.add_argument("--hier_warmup_iters", type=int, default=500,
                    help="train uniformly (num_coarse+num_fine samples) for "
                         "this many steps before switching to importance "

@@ -29,8 +29,16 @@ def _pad_stack(clouds, num_frames, frame_indices, align=1024):
     return points, mask
 
 
-def build_flow_cache(dataset, scale, num_frames_total, verbose=False):
-    """dataset: a refine-split KITTI360Dataset (full train frames)."""
+def build_flow_cache(dataset, scale, num_frames_total, verbose=False,
+                     max_points=0, seed=0):
+    """dataset: a refine-split KITTI360Dataset (full train frames).
+
+    max_points > 0 subsamples each frame's (non-ground) cloud to at most
+    that many points — the flow-consistency chamfer is O(P^2) per neighbor
+    pair, and real KITTI-360 clouds reach ~60k points (framework extra; the
+    reference always uses the full clouds, runner.py:924-953).
+    """
+    rng = np.random.default_rng(seed)
     clouds, grounds, fidx = [], [], []
     for i in range(len(dataset)):
         img = dataset.images_lidar[i]
@@ -40,6 +48,12 @@ def build_flow_cache(dataset, scale, num_frames_total, verbose=False):
             np.asarray(depth, np.float64) / scale, dataset.intrinsics_lidar
         )
         points, ground = point_removal(gt_lidar)
+        if max_points and len(points) > max_points:
+            points = points[rng.choice(len(points), max_points, replace=False)]
+        if max_points and len(ground) > max_points // 4:
+            ground = ground[
+                rng.choice(len(ground), max_points // 4, replace=False)
+            ]
 
         pose = np.asarray(dataset.poses_lidar[i], np.float64)
         for arr, dest in ((points, clouds), (ground, grounds)):

@@ -157,7 +157,8 @@ class Trainer:
         if self.loss_cfg.flow_loss and self.flow_cache is None:
             self.log("Preparing Point Clouds ...")
             cache = build_flow_cache(
-                refine_ds, self.opt.scale, self.opt.num_frames, verbose=False
+                refine_ds, self.opt.scale, self.opt.num_frames, verbose=False,
+                max_points=getattr(self.opt, "flow_cloud_max_points", 0),
             )
             self.flow_cache = jax.tree.map(jnp.asarray, cache)
             if self.mesh is not None:

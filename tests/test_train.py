@@ -180,3 +180,18 @@ def test_refine_unet_improves_bce():
     last = float(logs[-1].split()[-1])
     assert np.isfinite(last)
     assert last < first  # optimizing
+
+
+def test_flow_cache_max_points_subsamples(synth_root):
+    root, scale, offset = synth_root
+    ds = KITTI360Dataset(
+        split="refine", root_path=root, sequence_id=SEQ,
+        scale=scale, offset=offset,
+    )
+    capped = build_flow_cache(ds, scale, FRAMES, max_points=128)
+    assert capped["points"].shape[1] <= max(128, 1024)  # padded to align
+    # every frame capped (point_removal's RANSAC uses global random state,
+    # so exact counts vary run-to-run — the cap is the contract)
+    valid = capped["valid"] > 0
+    assert (capped["mask"][valid].sum(axis=1) <= 128).all()
+    assert (capped["gmask"][valid].sum(axis=1) <= 32).all()
