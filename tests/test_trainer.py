@@ -1,0 +1,72 @@
+"""Trainer orchestration on CPU: tiny end-to-end train -> checkpoint -> resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lidar4d_tpu.cli.config import build_loss_config, build_model_config, get_arg_parser
+from lidar4d_tpu.data import KITTI360Dataset, generate_synthetic_sequence
+from lidar4d_tpu.eval.meters import PointsMeter, RaydropMeter
+from lidar4d_tpu.models.lidar4d import LiDAR4DField
+from lidar4d_tpu.train.trainer import Trainer
+
+H, W, FRAMES, SEQ = 12, 48, 4, "9000"
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("trainer_synth"))
+    scale, offset = generate_synthetic_sequence(
+        root, sequence_id=SEQ, num_frames=FRAMES, H=H, W=W, val_every=4
+    )
+    argv = [
+        "--config", "/nonexistent",
+        "--path", root, "--sequence_id", SEQ,
+        "--scale", str(scale), "--num_frames", str(FRAMES),
+        "--num_rays_lidar", "32", "--num_steps", "8",
+        "--iters", "12", "--eval_interval", "100",
+        "--base_resolution", "8", "--max_resolution", "16",
+        "--log2_hashmap_size", "8", "--n_levels_hash", "2",
+        "--n_levels_plane", "1", "--min_resolution", "8",
+        "--time_resolution", "2", "--hash_size_dynamic", "8", "8", "8",
+        "--flow_n_levels", "2", "--flow_log2_hashmap_size", "8",
+        "--flow_base_resolution", "8", "--flow_max_resolution", "16",
+        "--flow_loss", "false", "--ckpt", "scratch",
+    ]
+    opt = get_arg_parser().parse_args(argv)
+    opt.offset = offset
+    opt.near_lidar *= opt.scale
+    opt.far_lidar *= opt.scale
+    ds = KITTI360Dataset(
+        split="train", root_path=root, sequence_id=SEQ,
+        scale=scale, offset=offset, num_rays_lidar=32,
+    )
+    return opt, ds
+
+
+def test_trainer_train_checkpoint_resume(setup, tmp_path):
+    opt, ds = setup
+    ws = str(tmp_path / "ws")
+    field = LiDAR4DField(build_model_config(opt))
+    trainer = Trainer(
+        "lidar4d", opt, field, build_loss_config(opt), workspace=ws,
+        lidar_metrics=[], use_checkpoint="scratch", eval_interval=100,
+    )
+    trainer.train_one_epoch(ds, patch_size=1)
+    trainer.train_one_epoch(ds, patch_size=1)
+    assert trainer.global_step == 2 * len(ds)
+    assert trainer.state.ema.num_updates == 2  # per-epoch EMA
+    trainer.epoch = 2
+    trainer.save_checkpoint()
+
+    # resume picks up epoch + step + params
+    t2 = Trainer(
+        "lidar4d", opt, field, build_loss_config(opt), workspace=ws,
+        lidar_metrics=[], use_checkpoint="latest", eval_interval=100,
+    )
+    assert t2.epoch == 2
+    assert t2.global_step == trainer.global_step
+    a = np.asarray(list(trainer.state.params["sigma"])[0])
+    b = np.asarray(list(t2.state.params["sigma"])[0])
+    np.testing.assert_allclose(a, b, rtol=1e-6)
