@@ -36,7 +36,11 @@ SEQ = "9000"
 ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "bench_synth")
 CACHE = os.path.join(ROOT, "flow_cache.npz")
 
-NUM_RAYS = 1024
+# Ray batch: TPUs amortize fixed per-step overhead (dispatch, small-op
+# latency) over the batch; rays/s/chip rises with batch size until the
+# encoders saturate. Default from the measured r2 scaling curve; override
+# with --rays N or LIDAR4D_BENCH_RAYS for sweeps.
+NUM_RAYS = int(os.environ.get("LIDAR4D_BENCH_RAYS", "4096"))
 WARMUP = 2
 ITERS = 5
 
@@ -83,8 +87,13 @@ def main():
     from lidar4d_tpu.models.lidar4d import LiDAR4DConfig, LiDAR4DField
     from lidar4d_tpu.train.losses import LossConfig
     from lidar4d_tpu.train.train_step import init_train_state, make_train_step
+    from lidar4d_tpu.utils.compile_cache import enable_compilation_cache
 
+    enable_compilation_cache()
     reference = "--reference" in sys.argv
+    global NUM_RAYS
+    if "--rays" in sys.argv:
+        NUM_RAYS = int(sys.argv[sys.argv.index("--rays") + 1])
 
     t_setup = time.perf_counter()
     ds, refine_ds, scale = get_dataset()
@@ -104,6 +113,7 @@ def main():
             hash_size_dynamic=(11, 10, 10),
             flow_n_levels=4, flow_n_features=8, flow_log2_hashmap_size=11,
             flow_base_resolution=16, flow_max_resolution=256,
+            remat_density=False, density_chunk=0,
         )
     field = LiDAR4DField(cfg)
     loss_cfg = LossConfig(

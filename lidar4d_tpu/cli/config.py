@@ -159,6 +159,13 @@ def get_arg_parser(default_config="configs/kitti360_4950.txt"):
                    help="train uniformly (num_coarse+num_fine samples) for "
                         "this many steps before switching to importance "
                         "sampling (the coarse pass needs a usable density)")
+    p.add_argument("--remat_density", type=int, default=-1,
+                   help="rematerialize the density query in backward "
+                        "(1/0; -1 = auto: off when every encoder runs the "
+                        "one-hot MXU path, on for gather-path tables)")
+    p.add_argument("--density_chunk", type=int, default=-1,
+                   help="max field-query points per chunk (0 = unchunked; "
+                        "-1 = auto, matching remat_density)")
     p.add_argument("--num_devices", type=int, default=0,
                    help="shard ray batches over this many devices (0 = all)")
     p.add_argument("--profile", action="store_true",
@@ -180,7 +187,20 @@ def build_model_config(opt):
     """Map parsed options to LiDAR4DConfig (main_lidar4d.py:155-179)."""
     from lidar4d_tpu.models.lidar4d import LiDAR4DConfig
 
+    # auto memory policy: one-hot (custom_vjp) fields hold tiny residuals and
+    # run fastest unchunked/un-remat'ed; gather-path fields need chunk+remat
+    # (see models/renderer.py)
+    onehot_field = (
+        opt.log2_hashmap_size <= 12
+        and max(opt.hash_size_dynamic) <= 12
+        and opt.flow_log2_hashmap_size <= 12
+    )
+    remat = (not onehot_field) if opt.remat_density < 0 else bool(opt.remat_density)
+    chunk = (0 if onehot_field else 32768) if opt.density_chunk < 0 else opt.density_chunk
+
     return LiDAR4DConfig(
+        remat_density=remat,
+        density_chunk=chunk,
         min_resolution=opt.min_resolution,
         base_resolution=opt.base_resolution,
         max_resolution=opt.max_resolution,

@@ -29,6 +29,9 @@ from lidar4d_tpu.utils.misc import set_seed
 
 
 def main(argv=None):
+    from lidar4d_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = get_arg_parser()
     opt = parser.parse_args(argv)
     set_seed(opt.seed)
@@ -42,6 +45,16 @@ def main(argv=None):
     # near/far scaled into the unit box (main_lidar4d.py:152-153)
     opt.near_lidar = opt.near_lidar * opt.scale
     opt.far_lidar = opt.far_lidar * opt.scale
+
+    # the reference's nuScenes branch is unimplemented there too
+    # (main_lidar4d.py:127-134 comments it out); fail fast with a clear error
+    # instead of a FileNotFoundError from the KITTI-360 loader
+    if opt.dataloader == "nuscenes":
+        raise SystemExit(
+            "--dataloader nuscenes is not implemented (the reference ships "
+            "KITTI-360 only; see /root/reference/main_lidar4d.py:134). Use "
+            "kitti360 or synthetic."
+        )
 
     # synthetic sequences regenerate on demand (deterministic given the seed,
     # so the config's scale/offset stay valid)

@@ -112,6 +112,9 @@ def _sequence_poses_times(opt):
 
 
 def main(argv=None):
+    from lidar4d_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = get_sim_arg_parser()
     opt = parser.parse_args(argv)
     set_seed(opt.seed)

@@ -82,6 +82,21 @@ class _ImageErrorMeter:
         assert self.N == len(self.V)
         return np.array(self.V).mean(0)
 
+    @property
+    def lpips_calibrated(self):
+        """True iff LPIPS runs on the official AlexNet+linear weights.
+
+        Without them (no-egress envs) the LPIPS column is a deterministic
+        random-feature SURROGATE: usable for relative comparison within this
+        repo, NOT comparable to published LPIPS numbers
+        (reference utils/metrics.py:35,106 uses lpips.LPIPS(net='alex'))."""
+        return bool(self.use_lpips and _get_lpips().is_calibrated)
+
+    def _lpips_note(self):
+        if not self.use_lpips:
+            return " [LPIPS disabled]"
+        return "" if self.lpips_calibrated else " [LPIPS surrogate: UNCALIBRATED random-feature mode]"
+
     def write(self, writer, global_step, prefix="", suffix=""):
         writer.add_scalar(f"{prefix}/{self.tag} error{suffix}",
                           self.measure()[0], global_step)
@@ -94,7 +109,7 @@ class DepthMeter(_ImageErrorMeter):
         super().__init__(scale, max_value=80.0, use_lpips=use_lpips)
 
     def report(self):
-        return f"Depth_error = {self.measure()}"
+        return f"Depth_error (RMSE, MedAE, LPIPS, SSIM, PSNR) = {self.measure()}{self._lpips_note()}"
 
 
 class IntensityMeter(_ImageErrorMeter):
@@ -104,7 +119,7 @@ class IntensityMeter(_ImageErrorMeter):
         super().__init__(scale, max_value=1.0, use_lpips=use_lpips)
 
     def report(self):
-        return f"Inten_error = {self.measure()}"
+        return f"Inten_error (RMSE, MedAE, LPIPS, SSIM, PSNR) = {self.measure()}{self._lpips_note()}"
 
 
 class RaydropMeter:

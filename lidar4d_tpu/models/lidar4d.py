@@ -77,6 +77,15 @@ class LiDAR4DConfig:
     density_scale: float = 1.0
     active_sensor: bool = False
     flow_warp: bool = True  # temporal neighbor aggregation on/off
+    # Density-query memory policy (models/renderer.py): chunk + rematerialize
+    # is REQUIRED for gather-path fields (2^19-row tables: XLA materializes
+    # every gather as a 16-32x tile-padded [idx, F<128] residual, ~50 GB
+    # unrematerialized). One-hot/Pallas fields (custom_vjp residuals = the
+    # query points only) are cheaper recomputed never: remat would re-run the
+    # whole forward — including the stop-gradient neighbor encodes — inside
+    # the backward. Flagship configs set remat_density=False, density_chunk=0.
+    remat_density: bool = True
+    density_chunk: int = 32768
 
 
 @dataclass(frozen=True)
@@ -185,9 +194,17 @@ class LiDAR4DField:
         hash_s = self.hash_encoder.forward_static(params["hash"], x01)
         hash_d = self.hash_encoder.forward_dynamic(params["hash"], x01, t)
 
-        t_col = jnp.full((x01.shape[0], 1), t, x01.dtype)
-        xt = jnp.concatenate([x01, t_col], axis=-1)
-        plane_s, plane_d = self.planes_encoder(params["planes"], xt)
+        plane_s = self.planes_encoder.forward_static(
+            params["planes"],
+            jnp.concatenate(
+                [x01, jnp.full((x01.shape[0], 1), t, x01.dtype)], axis=-1
+            ),
+        )
+        # all samples share the scalar t -> time-collapsed dynamic planes
+        # (exact bilinear semantics, one-hot matmul form; planes_field.py)
+        plane_d = self.planes_encoder.forward_dynamic_scalar_t(
+            params["planes"], x01, t
+        )
 
         if c.flow_warp:
             flow = self.flow_net(params["flow"], x01, t)
@@ -198,9 +215,8 @@ class LiDAR4DField:
             hash_d1 = jax.lax.stop_gradient(
                 self.hash_encoder.forward_dynamic(params["hash"], x1, t1)
             )
-            t1_col = jnp.full((x1.shape[0], 1), t1, x1.dtype)
-            plane_d1 = self.planes_encoder.forward_dynamic(
-                params["planes"], jnp.concatenate([x1, t1_col], -1)
+            plane_d1 = self.planes_encoder.forward_dynamic_scalar_t(
+                params["planes"], x1, t1
             )
 
             # backward neighbor (valid when frame_idx > 0)
@@ -209,9 +225,8 @@ class LiDAR4DField:
             hash_d2 = jax.lax.stop_gradient(
                 self.hash_encoder.forward_dynamic(params["hash"], x2, jnp.clip(t2, 0.0, 1.0))
             )
-            t2_col = jnp.full((x2.shape[0], 1), jnp.clip(t2, 0.0, 1.0), x2.dtype)
-            plane_d2 = self.planes_encoder.forward_dynamic(
-                params["planes"], jnp.concatenate([x2, t2_col], -1)
+            plane_d2 = self.planes_encoder.forward_dynamic_scalar_t(
+                params["planes"], x2, jnp.clip(t2, 0.0, 1.0)
             )
 
             has_next = (frame_idx < c.num_frames - 1).astype(jnp.float32)

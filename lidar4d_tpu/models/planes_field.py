@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from lidar4d_tpu.ops.grid_sample import bilinear_corners, grid_sample_2d
+from lidar4d_tpu.ops.plane_onehot import plane_bilinear, plane_linear
 
 _COO_COMBS = tuple(combinations(range(4), 2))
 # static: no time axis; dynamic: includes axis 3
@@ -69,29 +70,40 @@ class Planes4D:
     def _forward(self, params, pts, combs, comb_ids):
         """pts: [N, 4] in [0,1]. Product over the group's planes, concat scales.
 
-        All (scale x plane x corner) bilinear lookups batch into ONE gather
-        from a flattened table — per-index cost dominates TPU gathers, so
-        minimizing gather op count is the efficient formulation (the naive
-        per-plane grid_sample issues 4 x len(combs) x len(scales) takes).
+        On TPU, all planes of a group/scale share one (H, W) shape and batch
+        into ONE `plane_bilinear` one-hot MXU kernel call: both the gather
+        and its scatter-add backward become matmuls (see ops/plane_onehot.py
+        for the cost model). On CPU — and for exotic configs with unequal
+        per-axis resolutions — the XLA gather path below is used instead:
+        one take per (scale, plane), with the 4 corner lookups batched into a
+        single [C, 4N] axis-1 gather (finer-grained fusion makes XLA
+        materialize a [4*P*S*N, C] layout whose C-minor tile padding costs
+        16x the logical size in HBM; observed 19.3 GB at N=786k).
         """
         n = pts.shape[0]
         c_dim = self.output_dim
-        # One take per (scale, plane): the 4 corner lookups batch into a
-        # single [C, 4N] axis-1 gather. Fusing further (all scales/planes in
-        # one take) makes XLA materialize the gather output in a
-        # [4*P*S*N, C] layout whose C-minor tile padding costs 16x the
-        # logical size in HBM (observed 19.3 GB at N=786k) — per-plane
-        # granularity keeps transients at [C, 4N] with no padding.
+        use_kernel = jax.default_backend() != "cpu"
         outs = []
         for planes in params:  # per scale
-            acc = None
-            for comb, ci in zip(combs, comb_ids):
-                g = planes[ci]  # [C, H, W]
-                _, H, W = g.shape
-                idx, wgt = bilinear_corners(H, W, pts[:, list(comb)])
-                got = jnp.take(g.reshape(c_dim, H * W), idx.reshape(-1), axis=1)
-                feat = jnp.sum(got.reshape(c_dim, 4, n) * wgt[None], axis=1)
-                acc = feat if acc is None else acc * feat
+            group = [planes[ci] for ci in comb_ids]
+            if use_kernel and len({g.shape for g in group}) == 1:
+                g = jnp.stack(group)                                # [P, C, H, W]
+                pt = jnp.stack([pts[:, list(comb)] for comb in combs])
+                feats = plane_bilinear(g, pt)                       # [P, C, N]
+                acc = feats[0]
+                for k in range(1, len(group)):
+                    acc = acc * feats[k]
+            else:
+                acc = None
+                for comb, ci in zip(combs, comb_ids):
+                    g = planes[ci]  # [C, H, W]
+                    _, H, W = g.shape
+                    idx, wgt = bilinear_corners(H, W, pts[:, list(comb)])
+                    got = jnp.take(
+                        g.reshape(c_dim, H * W), idx.reshape(-1), axis=1
+                    )
+                    feat = jnp.sum(got.reshape(c_dim, 4, n) * wgt[None], axis=1)
+                    acc = feat if acc is None else acc * feat
             outs.append(acc)                             # [C, N] each
         return jnp.concatenate(outs, axis=0).reshape(
             len(params), c_dim, n
@@ -104,6 +116,43 @@ class Planes4D:
     def forward_dynamic(self, params, pts):
         ids = [_COO_COMBS.index(c) for c in _DYNAMIC_COMBS]
         return self._forward(params, pts, _DYNAMIC_COMBS, ids)
+
+    def forward_dynamic_scalar_t(self, params, xyz, t):
+        """Dynamic (xt, yt, zt) features when every sample shares scalar t.
+
+        This is the density-query case (lidar4d.density: one traced time per
+        call): each [C, T, S] time plane collapses over its tiny time axis
+        with the exact align_corners blend weights of grid_sample — in XLA,
+        outside the hot loop — and the remaining lookup is 1-D interpolation,
+        which `ops.plane_onehot.plane_linear` evaluates as a single one-hot
+        MATMUL per scale. Bilinear-exact (up to bf16 matmul rounding) and
+        removes both the gathers and the scatter-add backward.
+
+        Args:
+          xyz: [N, 3] spatial coords in [0, 1] (possibly flow-warped).
+          t:   traced scalar in [0, 1].
+        Returns:
+          [N, output_dim * n_scales] — identical semantics to
+          `forward_dynamic(params, concat([xyz, t], -1))`.
+        """
+        n = xyz.shape[0]
+        c_dim = self.output_dim
+        ids = [_COO_COMBS.index(c) for c in _DYNAMIC_COMBS]
+        xs = jnp.stack([xyz[:, 0], xyz[:, 1], xyz[:, 2]])  # [3, N]
+        t = jnp.asarray(t, jnp.float32)
+        outs = []
+        for planes in params:  # per scale
+            g = jnp.stack([planes[ci] for ci in ids])  # [3, C, T, S]
+            t_res = g.shape[2]
+            v = jnp.clip(t, 0.0, 1.0) * (t_res - 1)
+            y0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, t_res - 1)
+            y1 = jnp.minimum(y0 + 1, t_res - 1)
+            ty = v - y0.astype(jnp.float32)
+            g_red = (1.0 - ty) * jnp.take(g, y0, axis=2) \
+                + ty * jnp.take(g, y1, axis=2)            # [3, C, S]
+            feats = plane_linear(g_red, xs)               # [3, N, C]
+            outs.append(feats[0] * feats[1] * feats[2])   # [N, C]
+        return jnp.concatenate(outs, axis=-1).reshape(n, len(params) * c_dim)
 
     def __call__(self, params, pts):
         return self.forward_static(params, pts), self.forward_dynamic(params, pts)

@@ -79,12 +79,16 @@ def _composite_weights(cfg, sigma, z_vals, sample_dist):
     return alphas * jnp.cumprod(shifted, axis=-1)[:, :-1]  # [N, T]
 
 
-# Max field-query points per inner chunk. Two memory pathologies force this:
-# XLA materializes every encoder gather as [num_indices, F<128] row-major,
-# which the (8, 128) tile layout pads 16-32x, and without remat each of the
-# ~40 gathers in a step stays alive as a backward residual (observed 50-60 GB
-# at the reference config). Chunking + per-chunk remat bounds transients to
-# ~0.5 GB regardless of total sample count.
+# Default max field-query points per inner chunk (gather-path fields). Two
+# memory pathologies force chunk+remat there: XLA materializes every encoder
+# gather as [num_indices, F<128] row-major, which the (8, 128) tile layout
+# pads 16-32x, and without remat each of the ~40 gathers in a step stays
+# alive as a backward residual (observed 50-60 GB at the reference config).
+# Chunking + per-chunk remat bounds transients to ~0.5 GB regardless of total
+# sample count. One-hot/Pallas fields (flagship) hold only tiny custom_vjp
+# residuals, so they run unchunked and un-remat'ed (cfg.remat_density /
+# cfg.density_chunk) — remat would re-execute the whole density forward,
+# including the stop-gradient flow-warp neighbor encodes, inside backward.
 _DENSITY_CHUNK = 32768
 
 
@@ -93,19 +97,23 @@ def _query_density(field, params, rays_o, rays_d, z_vals, t, bound):
     xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     xyz = jnp.clip(xyz, -bound, bound).reshape(-1, 3)
     m = xyz.shape[0]
+    chunk = getattr(field.cfg, "density_chunk", _DENSITY_CHUNK)
 
-    density = jax.checkpoint(
-        lambda p, xx: field.density(p, xx, t), prevent_cse=False
-    )
+    if getattr(field.cfg, "remat_density", True):
+        density = jax.checkpoint(
+            lambda p, xx: field.density(p, xx, t), prevent_cse=False
+        )
+    else:
+        density = lambda p, xx: field.density(p, xx, t)  # noqa: E731
 
-    if m <= _DENSITY_CHUNK:
+    if chunk <= 0 or m <= chunk:
         dens = density(params, xyz)
         sigma, geo = dens["sigma"], dens["geo_feat"]
     else:
-        pad = (-m) % _DENSITY_CHUNK
+        pad = (-m) % chunk
         if pad:
             xyz = jnp.concatenate([xyz, jnp.zeros((pad, 3), xyz.dtype)], 0)
-        chunks = xyz.reshape(-1, _DENSITY_CHUNK, 3)
+        chunks = xyz.reshape(-1, chunk, 3)
 
         def one(xx):
             d = density(params, xx)

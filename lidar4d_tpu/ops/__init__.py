@@ -8,7 +8,7 @@ from .hash_enc import (
     lagrange_time_interp,
 )
 from .hash_onehot import hash_encode_auto, hash_encode_onehot
-from .chamfer import chamfer_distance, chamfer_loss
+from .chamfer import chamfer_distance, chamfer_distance_fast, chamfer_loss
 from .pano import (
     lidar_to_pano_with_intensities,
     lidar_to_pano,
@@ -29,6 +29,7 @@ __all__ = [
     "lagrange_time_interp",
     "init_hash_table",
     "chamfer_distance",
+    "chamfer_distance_fast",
     "chamfer_loss",
     "lidar_to_pano_with_intensities",
     "lidar_to_pano",

@@ -1,0 +1,286 @@
+"""Factorized one-hot bilinear plane sampling: gather/scatter-free, MXU-native.
+
+Replaces the XLA gather path for the K-Planes feature planes
+(`models/planes_field.py`, reference `model/planes_field.py:56-84` torch
+`F.grid_sample`). Bilinear interpolation is separable:
+
+    feat[c, n] = oy_n^T @ G_c @ ox_n
+
+where ox_n in R^W and oy_n in R^H are 2-hot interpolation vectors. Batched
+over a block of points this is a matmul per channel — and, crucially, the
+backward table update
+
+    dG_c = (oy * cot_c)^T @ ox            (an [H, BN] x [BN, W] matmul)
+
+replaces XLA's scatter-add into the plane (measured 16-100 ns/update on
+v5e — the dominant cost of the planes backward, PERF.md). The coordinate
+gradient needed to train the flow net through warped plane lookups
+(reference lidar4d.py:161-173 takes grads through grid_sample coords) is the
+same contraction against the one-hot *derivative* vectors.
+
+Performance notes (measured v5e):
+  * the kernel is VPU-bound on the one-hot builds, so they use the tent
+    identity  oh = relu(1 - |iota - u|)  with u = x*(W-1) pre-clipped — one
+    abs+sub+relu per element instead of integer compare/select chains, and
+    the forward never builds the derivative vectors;
+  * the VPU contraction (per-point dot of the matmul output against the
+    second one-hot) runs over the SMALLER of the two plane axes;
+  * MXU matmuls are bf16 with f32 accumulation, matching the fp16-AMP
+    envelope the reference runs grid_sample under (runner.py:497-504).
+
+Subgradient convention: at exact integer coordinates the tent form gives a
+zero coordinate-gradient (vs. the gather path's one-sided difference) —
+measure-zero inputs; everything else matches the gather path to bf16
+accuracy.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_BN = 1024  # points per block (2048 exceeds scoped VMEM in the backward)
+
+
+def _interpret():
+    # CPU (tests, virtual meshes) only supports pallas interpret mode
+    return jax.default_backend() == "cpu"
+
+
+def _pad_up(v, m):
+    return ((v + m - 1) // m) * m
+
+
+def _tent(u, size, bn, want_d=False):
+    """Weighted 2-hot [BN, size] via the tent identity (bf16), and optionally
+    its d/du (sign form)."""
+    iota = jax.lax.broadcasted_iota(jnp.float32, (bn, size), 1)
+    d = iota - u[:, None]                       # [BN, size]
+    oh = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+    if not want_d:
+        return oh.astype(jnp.bfloat16), None
+    dd = jnp.where(oh > 0.0, jnp.sign(d), 0.0)
+    return oh.astype(jnp.bfloat16), dd.astype(jnp.bfloat16)
+
+
+def _fwd_kernel(C, x_minor, crd_ref, g_ref, out_ref):
+    """Grid (P, NB). Blocks: crd [1, 2, BN] = (u, v); g [1, C, Hp, Wp];
+    out [1, C, BN].
+
+    x_minor: True -> matmul contracts W (ox side), VPU-reduce over H;
+    False -> flipped. Chosen so the VPU reduce runs over the smaller axis.
+    """
+    bn = crd_ref.shape[2]
+    hp, wp = g_ref.shape[2], g_ref.shape[3]
+    ox, _ = _tent(crd_ref[0, 0, :], wp, bn)
+    oy, _ = _tent(crd_ref[0, 1, :], hp, bn)
+    if x_minor:
+        mat, red = ox, oy.astype(jnp.float32)
+        c_dims = (((1,), (1,)), ((), ()))   # [BN, Wp] x [Hp, Wp] -> [BN, Hp]
+    else:
+        mat, red = oy, ox.astype(jnp.float32)
+        c_dims = (((1,), (0,)), ((), ()))   # [BN, Hp] x [Hp, Wp] -> [BN, Wp]
+    for c in range(C):
+        gc = g_ref[0, c].astype(jnp.bfloat16)
+        t = jax.lax.dot_general(mat, gc, c_dims,
+                                preferred_element_type=jnp.float32)
+        out_ref[0, c, :] = jnp.sum(t * red, axis=1)
+
+
+def _bwd_kernel(C, crd_ref, g_ref, cot_ref, dg_ref, dt_ref):
+    """Grid (P, NB), NB innermost: accumulate dg over point blocks.
+
+    Blocks: crd [1, 2, BN]; g [1, C, Hp, Wp]; cot [1, C, BN];
+    dg [1, C, Hp, Wp]; dt (du, dv) [1, 2, BN].
+    """
+    b = pl.program_id(1)
+    bn = crd_ref.shape[2]
+    hp, wp = g_ref.shape[2], g_ref.shape[3]
+
+    @pl.when(b == 0)
+    def _zero():
+        dg_ref[0] = jnp.zeros((C, hp, wp), jnp.float32)
+
+    ox, oxd = _tent(crd_ref[0, 0, :], wp, bn, want_d=True)
+    oy, oyd = _tent(crd_ref[0, 1, :], hp, bn, want_d=True)
+    oyf = oy.astype(jnp.float32)
+    oydf = oyd.astype(jnp.float32)
+
+    du = jnp.zeros((bn,), jnp.float32)
+    dv = jnp.zeros((bn,), jnp.float32)
+    for c in range(C):
+        gc = g_ref[0, c].astype(jnp.bfloat16)          # [Hp, Wp]
+        cot = cot_ref[0, c, :]                         # [BN] f32
+        # table gradient: (oy * cot)^T @ ox -> [Hp, Wp], accumulated over
+        # point blocks (the MXU replacement for XLA's scatter-add)
+        a = (oyf * cot[:, None]).astype(jnp.bfloat16)
+        upd = jax.lax.dot_general(
+            a, ox, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dg_ref[0, c] = dg_ref[0, c] + upd
+
+        # coordinate gradients: contractions against the one-hot derivatives
+        tx_mat = jax.lax.dot_general(
+            ox, gc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # [BN, Hp] (fwd T)
+        txd_mat = jax.lax.dot_general(
+            oxd, gc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # [BN, Hp]
+        du = du + cot * jnp.sum(txd_mat * oyf, axis=1)
+        dv = dv + cot * jnp.sum(tx_mat * oydf, axis=1)
+    dt_ref[0, 0, :] = du
+    dt_ref[0, 1, :] = dv
+
+
+def _prep(grid, pts):
+    p, c, h, w = grid.shape
+    n = pts.shape[1]
+    hp = max(_pad_up(h, 8), 8)
+    wp = max(_pad_up(w, _LANE), _LANE)
+    if (hp, wp) != (h, w):
+        grid = jnp.pad(grid, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+    # align_corners=True pixel coords, clipped to the border
+    u = jnp.clip(pts[..., 0], 0.0, 1.0) * (w - 1)
+    v = jnp.clip(pts[..., 1], 0.0, 1.0) * (h - 1)
+    crd = jnp.stack([u, v], axis=1).astype(jnp.float32)   # [P, 2, N]
+    npad = _pad_up(max(n, 1), _BN)
+    if npad != n:
+        crd = jnp.pad(crd, ((0, 0), (0, 0), (0, npad - n)))
+    return grid, crd, npad
+
+
+def _coord_block():
+    return pl.BlockSpec((1, 2, _BN), lambda p, b: (p, 0, b),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def plane_bilinear(grid, pts):
+    """Bilinear-sample P feature planes at P point sets (MXU one-hot path).
+
+    Args:
+      grid: [P, C, H, W] float32 feature planes.
+      pts:  [P, N, 2] in [0, 1]; pts[..., 0] indexes W, pts[..., 1] indexes H
+            (same convention as ops.grid_sample.grid_sample_2d).
+
+    Returns:
+      [P, C, N] float32 features (bf16 matmul accumulation, ~1e-2 relative
+      agreement with the f32 gather path).
+
+    Differentiable in both grid (table update as a transposed one-hot matmul)
+    and pts (align_corners=True coordinate gradient, zero outside [0, 1] —
+    matching autodiff through `bilinear_corners` except at exact-integer
+    pixel coordinates, where the tent subgradient is 0).
+    """
+    p, c, h, w = grid.shape
+    n = pts.shape[1]
+    gpad, crd, npad = _prep(grid, pts)
+    hp, wp = gpad.shape[2], gpad.shape[3]
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, c, hp <= wp),
+        grid=(p, npad // _BN),
+        in_specs=[
+            _coord_block(),
+            pl.BlockSpec((1, c, hp, wp), lambda pi, b: (pi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, _BN), lambda pi, b: (pi, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, c, npad), jnp.float32),
+        interpret=_interpret(),
+    )(crd, gpad)
+    return out[:, :, :n]
+
+
+def _vjp_fwd(grid, pts):
+    return plane_bilinear(grid, pts), (grid, pts)
+
+
+def _vjp_bwd(res, cot):
+    grid, pts = res
+    p, c, h, w = grid.shape
+    n = pts.shape[1]
+    gpad, crd, npad = _prep(grid, pts)
+    hp, wp = gpad.shape[2], gpad.shape[3]
+    if npad != n:
+        cot = jnp.pad(cot, ((0, 0), (0, 0), (0, npad - n)))
+    dg, dt = pl.pallas_call(
+        functools.partial(_bwd_kernel, c),
+        grid=(p, npad // _BN),
+        in_specs=[
+            _coord_block(),
+            pl.BlockSpec((1, c, hp, wp), lambda pi, b: (pi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, _BN), lambda pi, b: (pi, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c, hp, wp), lambda pi, b: (pi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, _BN), lambda pi, b: (pi, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((p, c, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((p, 2, npad), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(crd, gpad, cot)
+    dgrid = dg[:, :, :h, :w]
+    # chain du -> d pts: u = clip(px, 0, 1) * (W - 1); clip passes gradient
+    # on the closed interval (JAX clip convention, matches the gather path)
+    px, py = pts[..., 0], pts[..., 1]
+    in_x = ((px >= 0.0) & (px <= 1.0)).astype(jnp.float32)
+    in_y = ((py >= 0.0) & (py <= 1.0)).astype(jnp.float32)
+    dpx = dt[:, 0, :n] * (w - 1) * in_x
+    dpy = dt[:, 1, :n] * (h - 1) * in_y
+    return dgrid, jnp.stack([dpx, dpy], axis=-1)
+
+
+plane_bilinear.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def plane_bilinear_ref(grid, pts):
+    """Pure-XLA reference implementation (gather path) of plane_bilinear."""
+    from lidar4d_tpu.ops.grid_sample import grid_sample_2d
+
+    def one(g, pt):
+        return grid_sample_2d(g, pt).T  # [C, N]
+
+    return jax.vmap(one)(grid, pts)
+
+
+# --------------------------------------------------------------------- 1-D
+def plane_linear(grid, x):
+    """Linear-interpolate P 1-D feature tables at P coordinate sets via a
+    one-hot MATMUL — pure XLA, no kernel needed.
+
+    Used for the time-collapsed dynamic planes: during a density query every
+    sample shares the scalar time t, so each [C, T, W] (x, t) plane collapses
+    over its (tiny) time axis in XLA, leaving 1-D interpolation where the
+    2-hot weight matrix  relu(1 - |iota - u|)  feeds a single [N, W] @ [W, C]
+    bf16 matmul; the table gradient is the transposed matmul and the
+    coordinate gradient flows through the tent automatically.
+
+    Args:
+      grid: [P, C, W] float32.
+      x:    [P, N] in [0, 1].
+    Returns:
+      [P, N, C] float32.
+    """
+    p, c, w = grid.shape
+    u = jnp.clip(x, 0.0, 1.0) * (w - 1)
+    iota = jnp.arange(w, dtype=jnp.float32)
+    oh = jnp.maximum(0.0, 1.0 - jnp.abs(iota[None, None, :] - u[..., None]))
+    return jax.lax.dot_general(
+        oh.astype(jnp.bfloat16),
+        grid.astype(jnp.bfloat16),
+        (((2,), (2,)), ((0,), (0,))),     # batch P, contract W
+        preferred_element_type=jnp.float32,
+    )  # [P, N, C]

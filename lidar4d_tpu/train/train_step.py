@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import optax
 
 from lidar4d_tpu.models.renderer import render_rays
-from lidar4d_tpu.ops.chamfer import chamfer_distance
+from lidar4d_tpu.ops.chamfer import chamfer_distance_fast
 from lidar4d_tpu.ops.rays import get_lidar_rays
 from lidar4d_tpu.parallel.mesh import gather_rays, shard_rays
 from lidar4d_tpu.train.ema import EmaState, ema_init
@@ -150,7 +150,7 @@ def _flow_loss(field, params, flow_cache, frame_idx, t, key, cfg: LossConfig):
     targets = points[nbr_idx]        # [4, P, 3]
     t_masks = mask[nbr_idx]          # [4, P]
 
-    d1, d2, _, _ = chamfer_distance(preds, targets)
+    d1, d2, _, _ = chamfer_distance_fast(preds, targets)
     d1 = d1 * pc_m[None, :]
     d2 = d2 * t_masks
     per_pair = 0.5 * (jnp.sum(d1, axis=1) + jnp.sum(d2, axis=1))  # [4]
@@ -275,7 +275,7 @@ def make_train_step(
         gt_lidar = rays_d * gt_depth[:, None] / cfg.scale
         if mesh is not None:
             pred_lidar, gt_lidar = gather_rays(mesh, pred_lidar, gt_lidar)
-        d1, d2, _, _ = chamfer_distance(pred_lidar[None], gt_lidar[None])
+        d1, d2, _, _ = chamfer_distance_fast(pred_lidar[None], gt_lidar[None])
         chamfer_l = jnp.mean(d1 + d2) * 0.5
         loss = loss + chamfer_l
         metrics["chamfer_loss"] = chamfer_l

@@ -86,6 +86,7 @@ class Trainer:
             self.state = replicate(self.mesh, self.state)
         self.ckpt = CheckpointManager(workspace, name=name, max_keep=max_keep_ckpt)
         self._steps = {}  # patch-mode -> jitted step
+        self._warmed = set()  # step fns that have executed >= 1 step
         self._rng = np.random.default_rng(seed)
         self._key = jax.random.PRNGKey(seed + 1)
         self.flow_cache = None
@@ -188,8 +189,23 @@ class Trainer:
         step_fn = self._get_step(dataset, patch_size)
         order = dataset.epoch_order(self._rng)
         total_loss = 0.0
-        t0 = time.perf_counter()
         last_metrics = None
+
+        # First use of a newly-compiled step variant: run one step and sync
+        # before starting the epoch clock, so logged rays/s measures steady-
+        # state execution, not XLA compilation (which otherwise lands in the
+        # first epoch after every patch-size / sampler switch).
+        if id(step_fn) not in self._warmed and len(order) > 1:
+            i0 = int(order[0])
+            order = order[1:]
+            frame = jax.tree.map(jnp.asarray, dataset.frame(i0))
+            self.state, metrics = step_fn(
+                self.state, frame, self.flow_cache, self._next_key()
+            )
+            float(metrics["loss"])
+            self._warmed.add(id(step_fn))
+            self.global_step += 1
+        t0 = time.perf_counter()
 
         # --profile: trace this epoch's steps (xplane, view with tensorboard)
         profiling = getattr(self.opt, "profile", False) and self.epoch == 2
@@ -212,7 +228,7 @@ class Trainer:
         loss_val = float(last_metrics["loss"])
         dt = time.perf_counter() - t0
         total_loss = loss_val
-        rays_per_sec = len(order) * self.opt.num_rays_lidar / dt
+        rays_per_sec = len(order) * self.opt.num_rays_lidar / max(dt, 1e-9)
 
         # EMA once per epoch (runner.py:534-535)
         self.state = self.state._replace(
@@ -273,6 +289,18 @@ class Trainer:
             m.clear()
         params = self._eval_params()
 
+        # eval-time composite loss (runner.py:418-424, 589-594): same criteria
+        # as training but mean-reduced per frame, preds masked by the
+        # thresholded raydrop
+        from lidar4d_tpu.train.losses import elementwise_loss
+
+        depth_crit = elementwise_loss(self.loss_cfg.depth_loss, self.loss_cfg.scale)
+        raydrop_crit = elementwise_loss(self.loss_cfg.raydrop_loss, self.loss_cfg.scale)
+        intensity_crit = elementwise_loss(
+            self.loss_cfg.intensity_loss, self.loss_cfg.scale
+        )
+        total_loss = 0.0
+
         for i in range(len(dataset)):
             img = np.asarray(dataset.images_lidar[i])
             gt_raydrop = img[..., 0]
@@ -286,6 +314,15 @@ class Trainer:
                 raydrop = self._apply_refine(params, raydrop, intensity, depth)
             mask = (raydrop > 0.5).astype(np.float32)
 
+            total_loss += float(
+                self.loss_cfg.alpha_d
+                * np.mean(np.asarray(depth_crit(depth * mask, gt_depth)))
+                + self.loss_cfg.alpha_r
+                * np.mean(np.asarray(raydrop_crit(raydrop, gt_raydrop)))
+                + self.loss_cfg.alpha_i
+                * np.mean(np.asarray(intensity_crit(intensity * mask, gt_intensity)))
+            )
+
             for mi, meter in enumerate(self.lidar_metrics):
                 if mi == 0:
                     meter.update(raydrop[None], gt_raydrop[None])
@@ -298,14 +335,28 @@ class Trainer:
                 name, i + 1, raydrop, intensity, depth, mask
             )
 
+        average_loss = total_loss / max(len(dataset), 1)
+        self.stats["valid_loss"].append(average_loss)
         if self.lidar_metrics:
             result = self.lidar_metrics[-1].measure()[0]  # CD (min-better)
             self.stats["results"].append(float(result))
+        else:
+            # no metric -> best tracked by min validation loss (runner.py:665-668)
+            self.stats["results"].append(average_loss)
+        eval_record = {"epoch": self.epoch, "valid_loss": average_loss}
         for meter in self.lidar_metrics:
             self.log(meter.report())
             if self.writer is not None:
                 meter.write(self.writer, self.global_step, prefix="evaluate")
-        self.log(f"++> Evaluate epoch {self.epoch} Finished.")
+            tag = getattr(meter, "tag", type(meter).__name__)
+            eval_record[tag] = [float(v) for v in np.atleast_1d(meter.measure())]
+            if hasattr(meter, "lpips_calibrated"):
+                # never let surrogate-mode LPIPS pass for published LPIPS
+                eval_record[f"{tag}_lpips_calibrated"] = bool(meter.lpips_calibrated)
+        self.log_metrics(eval_record)
+        if self.writer is not None:
+            self.writer.add_scalar("evaluate/loss", average_loss, self.global_step)
+        self.log(f"++> Evaluate epoch {self.epoch} Finished. valid_loss {average_loss:.4f}")
 
     def _save_validation_panel(self, name, idx, raydrop, intensity, depth, mask):
         try:
@@ -334,7 +385,10 @@ class Trainer:
         self.evaluate_one_epoch(dataset, name)
 
     # ------------------------------------------------------------------ test
-    def test(self, dataset, save_path=None, name=None, refine=True):
+    def test(self, dataset, save_path=None, name=None, write_video=True,
+             refine=True):
+        """Render the test split; npy point clouds always, plus either mp4
+        videos (write_video, runner.py:783-815) or per-frame PNGs."""
         if save_path is None:
             save_path = os.path.join(self.workspace, "results")
         if name is None:
@@ -348,6 +402,7 @@ class Trainer:
             import cv2
         except ImportError:
             cv2 = None
+        all_preds, all_preds_depth = [], []
 
         for i in range(len(dataset)):
             raydrop, intensity, depth = self._render_frame(params, dataset, i)
@@ -365,20 +420,53 @@ class Trainer:
                 os.path.join(save_path, f"test_{name}_{i + 1:04d}_depth_lidar.npy"),
                 pred_lidar,
             )
-            if cv2 is not None:
+            if cv2 is None:
+                continue
+            u8_intensity = (np.clip(intensity, 0, 1) * 255).astype(np.uint8)
+            u8_depth = (np.clip(depth, 0, 1) * 255).astype(np.uint8)
+            if write_video:
+                all_preds.append(cv2.cvtColor(
+                    cv2.applyColorMap(u8_intensity, 1), cv2.COLOR_BGR2RGB))
+                all_preds_depth.append(cv2.cvtColor(
+                    cv2.applyColorMap(u8_depth, 20), cv2.COLOR_BGR2RGB))
+            else:
                 cv2.imwrite(
                     os.path.join(save_path, f"test_{name}_{i + 1:04d}_raydrop.png"),
                     (mask * 255).astype(np.uint8),
                 )
                 cv2.imwrite(
                     os.path.join(save_path, f"test_{name}_{i + 1:04d}_intensity.png"),
-                    cv2.applyColorMap((np.clip(intensity, 0, 1) * 255).astype(np.uint8), 1),
+                    cv2.applyColorMap(u8_intensity, 1),
                 )
                 cv2.imwrite(
                     os.path.join(save_path, f"test_{name}_{i + 1:04d}_depth.png"),
-                    cv2.applyColorMap((np.clip(depth, 0, 1) * 255).astype(np.uint8), 20),
+                    cv2.applyColorMap(u8_depth, 20),
                 )
+
+        if write_video and all_preds:
+            self._write_video(
+                os.path.join(save_path, f"{name}_lidar_rgb.mp4"),
+                np.stack(all_preds, axis=0),
+            )
+            self._write_video(
+                os.path.join(save_path, f"{name}_depth.mp4"),
+                np.stack(all_preds_depth, axis=0),
+            )
         self.log("==> Finished Test.")
+
+    def _write_video(self, path, frames, fps=25):
+        """imageio mp4 writer (runner.py:805-815); npz fallback when no
+        ffmpeg backend is available in the environment."""
+        try:
+            import imageio
+
+            imageio.mimwrite(path, frames, fps=fps, quality=8,
+                             macro_block_size=1)
+            self.log(f"[INFO] wrote video {path}")
+        except Exception as e:  # noqa: BLE001 - missing imageio/ffmpeg
+            alt = path + ".npz"
+            np.savez_compressed(alt, frames=frames, fps=fps)
+            self.log(f"[WARN] mp4 writer unavailable ({e}); frames -> {alt}")
 
     # ---------------------------------------------------------------- refine
     def refine(self, dataset):
