@@ -36,11 +36,13 @@ SEQ = "9000"
 ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "bench_synth")
 CACHE = os.path.join(ROOT, "flow_cache.npz")
 
-# Ray batch: TPUs amortize fixed per-step overhead (dispatch, small-op
-# latency) over the batch; rays/s/chip rises with batch size until the
-# encoders saturate. Default from the measured r2 scaling curve; override
-# with --rays N or LIDAR4D_BENCH_RAYS for sweeps.
-NUM_RAYS = int(os.environ.get("LIDAR4D_BENCH_RAYS", "4096"))
+# Ray batch. Measured r2 scaling curve is FLAT (1024 rays: 2855 rays/s,
+# 4096 rays: 2915 rays/s) — the step is compute-bound on the one-hot encoder
+# builds, whose cost is linear in sample count, so bigger batches buy
+# nothing. Default 1024 matches the reference schedule
+# (run_kitti_lidar4d.sh:6) and keeps bench wall-clock low; override with
+# --rays N or LIDAR4D_BENCH_RAYS.
+NUM_RAYS = int(os.environ.get("LIDAR4D_BENCH_RAYS", "1024"))
 WARMUP = 2
 ITERS = 5
 

@@ -9,8 +9,8 @@ straight to the MXU, nothing index-shaped ever touches HBM.
 
 Layout notes (Pallas TPU blocks need last-two dims divisible by (8, 128)):
 tables are packed [L, F, R] (F sublanes, R lanes), outputs stream as
-[L*F, N] and transpose once in XLA, and corner sets are padded to 8 with
-zero weights.
+[L*F, N] and transpose once in XLA; corner sets carry exactly 2^d rows
+(the VPU one-hot build is the dominant cost — no zero-weight passes).
 
 This backs the TPU-flagship field configs (few rows x wide features); the
 reference-parity configs (2^19-row tables, hash_field.py:106-117) stay on
@@ -31,7 +31,6 @@ from jax.experimental.pallas import tpu as pltpu
 from lidar4d_tpu.ops.hash_enc import HashEncoderSpec, _level_indices
 
 _LANE = 128
-_CPAD = 8  # corner sets padded to the sublane quantum
 
 
 def _interpret():
@@ -48,13 +47,17 @@ def _block_n(r):
 def _build_onehot(idx_ref, wgt_ref, oh_ref):
     """Accumulate the weighted one-hot [BN, R] into a VMEM scratch.
 
-    Unrolled over the 8 corners for VPU throughput (a fori_loop costs ~2x),
-    accumulating IN PLACE via the scratch ref so the Mosaic stack holds one
-    [BN, R] buffer instead of 8 live temps (which scoped-vmem-OOMs)."""
+    Unrolled over the 2^d corners for VPU throughput (a fori_loop costs
+    ~2x), accumulating IN PLACE via the scratch ref so the Mosaic stack
+    holds one [BN, R] buffer instead of 2^d live temps (scoped-vmem OOM).
+    The corner count comes from the idx block shape: 2D grids build 4
+    passes, 3D grids 8 — the VPU build is the kernel's dominant cost, so
+    zero-weight padding passes are never run."""
     bn, r = oh_ref.shape
+    n_corners = idx_ref.shape[1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (bn, r), 1)
     oh_ref[:] = jnp.zeros((bn, r), jnp.bfloat16)
-    for ci in range(_CPAD):
+    for ci in range(n_corners):
         idx = idx_ref[0, ci, :]
         wgt = wgt_ref[0, ci, :]
         oh_ref[:] = oh_ref[:] + jnp.where(
@@ -63,7 +66,7 @@ def _build_onehot(idx_ref, wgt_ref, oh_ref):
 
 
 def _fwd_kernel(idx_ref, wgt_ref, tab_ref, out_ref, oh_ref):
-    """Grid (L, NB). Blocks: idx/wgt [1, 8, BN], tab [1, F, R], out [F, BN]."""
+    """Grid (L, NB). Blocks: idx/wgt [1, 2^d, BN], tab [1, F, R], out [F, BN]."""
     _build_onehot(idx_ref, wgt_ref, oh_ref)
     out_ref[:] = jax.lax.dot_general(
         tab_ref[0].astype(jnp.bfloat16), oh_ref[:],
@@ -74,7 +77,7 @@ def _fwd_kernel(idx_ref, wgt_ref, tab_ref, out_ref, oh_ref):
 def _bwd_kernel(idx_ref, wgt_ref, cot_ref, dtab_ref, oh_ref):
     """Grid (L, NB), NB innermost: accumulate dtab[l] over point blocks.
 
-    Blocks: idx/wgt [1, 8, BN], cot [F, BN], dtab [1, F, R].
+    Blocks: idx/wgt [1, 2^d, BN], cot [F, BN], dtab [1, F, R].
     """
     b = pl.program_id(1)
 
@@ -94,19 +97,13 @@ def _bwd_kernel(idx_ref, wgt_ref, cot_ref, dtab_ref, oh_ref):
 
 
 def _prep(spec, x):
-    """Corner indices/weights [L, 8, N] (level offsets removed, corners
-    zero-padded to 8)."""
+    """Corner indices/weights [L, 2^d, N] (level offsets removed)."""
     idxs, wgts = [], []
     for level in range(spec.n_levels):
         li, lw = _level_indices(spec, x, level)
         off = spec.level_offsets[level]
-        li = [i - off for i in li]
-        lw = list(lw)
-        while len(li) < _CPAD:
-            li.append(jnp.zeros_like(li[0]))
-            lw.append(jnp.zeros_like(lw[0]))
-        idxs.append(jnp.stack(li))
-        wgts.append(jnp.stack(lw))
+        idxs.append(jnp.stack([i - off for i in li]))
+        wgts.append(jnp.stack(list(lw)))
     return jnp.stack(idxs), jnp.stack(wgts)
 
 
@@ -144,19 +141,20 @@ def _fwd_call(spec, packed, idx, wgt, n):
     r = packed.shape[2]
     f = spec.n_features
     bn = _block_n(r)
+    nc = idx.shape[1]
     pad = (-n) % bn
     if pad:
-        idx = jnp.concatenate([idx, jnp.zeros((l, _CPAD, pad), idx.dtype)], -1)
-        wgt = jnp.concatenate([wgt, jnp.zeros((l, _CPAD, pad), wgt.dtype)], -1)
+        idx = jnp.concatenate([idx, jnp.zeros((l, nc, pad), idx.dtype)], -1)
+        wgt = jnp.concatenate([wgt, jnp.zeros((l, nc, pad), wgt.dtype)], -1)
     nb = idx.shape[2] // bn
 
     out = pl.pallas_call(
         _fwd_kernel,
         grid=(l, nb),
         in_specs=[
-            pl.BlockSpec((1, _CPAD, bn), lambda li, b: (li, 0, b),
+            pl.BlockSpec((1, nc, bn), lambda li, b: (li, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _CPAD, bn), lambda li, b: (li, 0, b),
+            pl.BlockSpec((1, nc, bn), lambda li, b: (li, 0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, f, r), lambda li, b: (li, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -177,15 +175,16 @@ def _bwd_call(spec, idx, wgt, cot_t, n_padded):
     r = _r_max(spec)
     f = spec.n_features
     bn = _block_n(r)
+    nc = idx.shape[1]
     nb = n_padded // bn
 
     return pl.pallas_call(
         _bwd_kernel,
         grid=(l, nb),
         in_specs=[
-            pl.BlockSpec((1, _CPAD, bn), lambda li, b: (li, 0, b),
+            pl.BlockSpec((1, nc, bn), lambda li, b: (li, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _CPAD, bn), lambda li, b: (li, 0, b),
+            pl.BlockSpec((1, nc, bn), lambda li, b: (li, 0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((f, bn), lambda li, b: (li, b),
                          memory_space=pltpu.VMEM),
@@ -221,8 +220,9 @@ def _vjp_bwd(spec, res, cot):
     pad = (-n) % bn
     if pad:
         l = spec.n_levels
-        idx = jnp.concatenate([idx, jnp.zeros((l, _CPAD, pad), idx.dtype)], -1)
-        wgt = jnp.concatenate([wgt, jnp.zeros((l, _CPAD, pad), wgt.dtype)], -1)
+        nc = idx.shape[1]
+        idx = jnp.concatenate([idx, jnp.zeros((l, nc, pad), idx.dtype)], -1)
+        wgt = jnp.concatenate([wgt, jnp.zeros((l, nc, pad), wgt.dtype)], -1)
         cot = jnp.concatenate(
             [cot, jnp.zeros((pad, cot.shape[1]), cot.dtype)], 0
         )

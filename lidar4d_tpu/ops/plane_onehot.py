@@ -42,7 +42,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
-_BN = 1024  # points per block (2048 exceeds scoped VMEM in the backward)
+# Points per block. 512 measures within noise of 1024 (the kernel is
+# VPU-build bound, not pipeline bound), and the backward's scoped-VMEM peak
+# at 1024 exceeds the 16 MB limit once the kernel sits inside the full
+# train-step graph (observed 19.97M) — keep the safety margin.
+_BN = 512
 
 
 def _interpret():
@@ -57,7 +61,8 @@ def _pad_up(v, m):
 def _tent(u, size, bn, want_d=False):
     """Weighted 2-hot [BN, size] via the tent identity (bf16), and optionally
     its d/du (sign form)."""
-    iota = jax.lax.broadcasted_iota(jnp.float32, (bn, size), 1)
+    # Mosaic's tpu.iota is integer-only; cast to f32 for the tent
+    iota = jax.lax.broadcasted_iota(jnp.int32, (bn, size), 1).astype(jnp.float32)
     d = iota - u[:, None]                       # [BN, size]
     oh = jnp.maximum(0.0, 1.0 - jnp.abs(d))
     if not want_d:

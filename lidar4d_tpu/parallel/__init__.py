@@ -1,3 +1,17 @@
-from .mesh import gather_rays, make_mesh, replicate, shard_rays
+from .mesh import (
+    gather_rays,
+    init_distributed,
+    make_hierarchical_mesh,
+    make_mesh,
+    replicate,
+    shard_rays,
+)
 
-__all__ = ["gather_rays", "make_mesh", "replicate", "shard_rays"]
+__all__ = [
+    "gather_rays",
+    "init_distributed",
+    "make_hierarchical_mesh",
+    "make_mesh",
+    "replicate",
+    "shard_rays",
+]

@@ -15,11 +15,41 @@ first-class capability here:
   * multi-host (pod) scale reuses the same annotations over a larger mesh.
 """
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+DCN_AXIS = "dcn"  # across hosts (data-center network)
+ICI_AXIS = "ici"  # within a host's chip group (inter-chip interconnect)
+
+
+def init_distributed(coordinator=None, num_processes=None, process_id=None):
+    """Multi-host entry: start the JAX distributed runtime (pod scale).
+
+    On real TPU pods `jax.distributed.initialize()` auto-discovers the
+    topology; explicit args (or LIDAR4D_COORDINATOR / LIDAR4D_NUM_PROCS /
+    LIDAR4D_PROC_ID env vars) cover CPU/GPU clusters. A no-op when neither
+    is present — single-process runs (including this repo's one-chip env and
+    the virtual CPU meshes) skip the runtime entirely.
+
+    Returns True iff the distributed runtime was initialized.
+    """
+    coordinator = coordinator or os.environ.get("LIDAR4D_COORDINATOR")
+    if num_processes is None and os.environ.get("LIDAR4D_NUM_PROCS"):
+        num_processes = int(os.environ["LIDAR4D_NUM_PROCS"])
+    if process_id is None and os.environ.get("LIDAR4D_PROC_ID"):
+        process_id = int(os.environ["LIDAR4D_PROC_ID"])
+    if coordinator is None and num_processes is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
 
 
 def make_mesh(n_devices=0, devices=None):
@@ -31,14 +61,42 @@ def make_mesh(n_devices=0, devices=None):
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def make_hierarchical_mesh(n_hosts=0, per_host=0, devices=None):
+    """2-axis (dcn, ici) mesh for the multi-host stretch config.
+
+    Rows are hosts, columns are each host's chips — `jax.devices()` orders
+    devices host-major, so row-adjacency = ICI-adjacency and the gradient
+    psum lowers to a reduce within each host's ICI ring followed by one
+    cross-host DCN reduce (the scaling-book layout for pure DP). Multi-
+    sequence training shards sequences over `dcn` and rays over `ici`.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_hosts <= 0:
+        n_hosts = max(jax.process_count(), 1)
+    if per_host <= 0:
+        per_host = max(len(devices) // n_hosts, 1)
+    devices = devices[: n_hosts * per_host]
+    arr = np.asarray(devices).reshape(n_hosts, per_host)
+    return Mesh(arr, (DCN_AXIS, ICI_AXIS))
+
+
+def _ray_spec(mesh, ndim):
+    """Partition the leading (ray/point) axis over EVERY mesh axis: on the
+    1-D data mesh that's P('data'); on the hierarchical mesh the ray batch
+    splits over (dcn, ici) jointly."""
+    return P(tuple(mesh.axis_names), *([None] * (ndim - 1)))
+
+
 def shard_rays(mesh, *arrays):
-    """Constrain leading (ray/point) axis to be sharded over the data axis."""
+    """Constrain leading (ray/point) axis to be sharded over the mesh."""
     if mesh is None:
         return arrays if len(arrays) > 1 else arrays[0]
     out = []
     for a in arrays:
-        spec = P(DATA_AXIS, *([None] * (a.ndim - 1)))
-        out.append(jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec)))
+        out.append(jax.lax.with_sharding_constraint(
+            a, NamedSharding(mesh, _ray_spec(mesh, a.ndim))
+        ))
     return tuple(out) if len(out) > 1 else out[0]
 
 

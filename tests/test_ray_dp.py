@@ -98,6 +98,24 @@ def test_sharded_step_matches_single_device(setup):
         )
 
 
+def test_hierarchical_mesh_matches_single_device(setup):
+    """(dcn=2, ici=4) pod layout: same params as unsharded after N steps."""
+    from lidar4d_tpu.parallel.mesh import make_hierarchical_mesh
+
+    ds, field, loss_cfg, cache = setup
+    state_1, metrics_1 = _run(field, loss_cfg, ds, cache, mesh=None,
+                              n_steps=2)
+    state_h, metrics_h = _run(field, loss_cfg, ds, cache,
+                              mesh=make_hierarchical_mesh(2, 4), n_steps=2)
+    np.testing.assert_allclose(
+        float(metrics_h["loss"]), float(metrics_1["loss"]), rtol=1e-4
+    )
+    for a, b in zip(jax.tree.leaves(state_1.params),
+                    jax.tree.leaves(state_h.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-6)
+
+
 def test_sharded_gradient_scale(setup):
     """Catch psum scale bugs directly: one step from identical params must
     move the sigma-net weights by the same delta (not n_devices x)."""
