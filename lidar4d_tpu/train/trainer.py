@@ -153,14 +153,36 @@ class Trainer:
         self._key, k = jax.random.split(self._key)
         return k
 
+    def _load_or_build_flow_cache(self, refine_ds):
+        """Flow-loss point clouds (ground-removal RANSAC over every train
+        frame — minutes of host work on full-size sequences), cached on disk
+        next to the dataset, keyed by sequence and subsample cap."""
+        cap = int(getattr(self.opt, "flow_cloud_max_points", 0) or 0)
+        path = getattr(self.opt, "path", None)
+        seq = getattr(self.opt, "sequence_id", "seq")
+        cache_file = (
+            os.path.join(path, f"flow_cache_{seq}_cap{cap}.npz")
+            if path and os.path.isdir(path) else None
+        )
+        if cache_file and os.path.exists(cache_file):
+            z = np.load(cache_file)
+            return {k: z[k] for k in z.files}
+        cache = build_flow_cache(
+            refine_ds, self.opt.scale, self.opt.num_frames, verbose=False,
+            max_points=cap,
+        )
+        if cache_file:
+            try:
+                np.savez_compressed(cache_file, **cache)
+            except OSError as e:
+                self.log(f"[WARN] flow cache not saved: {e}")
+        return cache
+
     # ----------------------------------------------------------------- train
     def train(self, train_ds, valid_ds, refine_ds, max_epochs):
         if self.loss_cfg.flow_loss and self.flow_cache is None:
             self.log("Preparing Point Clouds ...")
-            cache = build_flow_cache(
-                refine_ds, self.opt.scale, self.opt.num_frames, verbose=False,
-                max_points=getattr(self.opt, "flow_cloud_max_points", 0),
-            )
+            cache = self._load_or_build_flow_cache(refine_ds)
             self.flow_cache = jax.tree.map(jnp.asarray, cache)
             if self.mesh is not None:
                 self.flow_cache = replicate(self.mesh, self.flow_cache)
