@@ -24,7 +24,7 @@ from lidar4d_tpu.models.renderer import render_staged
 from lidar4d_tpu.ops.pano import pano_to_lidar
 from lidar4d_tpu.parallel.mesh import make_mesh, replicate
 from lidar4d_tpu.train.checkpoints import CheckpointManager
-from lidar4d_tpu.train.ema import ema_params, ema_update
+from lidar4d_tpu.train.ema import ema_init, ema_params, ema_update
 from lidar4d_tpu.train.flow_cache import build_flow_cache
 from lidar4d_tpu.train.refine import refine_unet
 from lidar4d_tpu.train.train_step import init_train_state, make_train_step
@@ -492,9 +492,15 @@ class Trainer:
 
     # ---------------------------------------------------------------- refine
     def refine(self, dataset):
-        # copy EMA weights in and drop the EMA (runner.py:819-821)
+        # copy EMA weights in and DROP the EMA (runner.py:819-821: `self.ema
+        # = None`). The drop matters: the U-Net is only trained here, so its
+        # EMA shadow is still the random init — any later eval through
+        # ema_params would silently run an untrained refiner.
         if self.state.ema.num_updates > 0:
-            self.state = self.state._replace(params=ema_params(self.state.ema))
+            ema_in = ema_params(self.state.ema)
+            self.state = self.state._replace(
+                params=ema_in, ema=ema_init(ema_in)  # num_updates -> 0
+            )
         params = self.state.params
 
         self.log("Preparing for Raydrop Refinement ...")

@@ -70,3 +70,47 @@ def test_trainer_train_checkpoint_resume(setup, tmp_path):
     a = np.asarray(list(trainer.state.params["sigma"])[0])
     b = np.asarray(list(t2.state.params["sigma"])[0])
     np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_refine_drops_ema(setup, tmp_path):
+    """refine() must kill the EMA (runner.py:819-821 sets self.ema = None):
+    the U-Net is only trained inside refine, so its EMA shadow is still the
+    random init — post-refine evals through ema_params would silently run an
+    untrained refiner (caught live: CD 0.22 -> 0.72 on the bench scene)."""
+    import jax
+
+    opt, ds = setup
+    ws = str(tmp_path / "ws_refine")
+    field = LiDAR4DField(build_model_config(opt))
+    trainer = Trainer(
+        "lidar4d", opt, field, build_loss_config(opt), workspace=ws,
+        lidar_metrics=[], use_checkpoint="scratch", eval_interval=100,
+    )
+    trainer.train_one_epoch(ds, patch_size=1)
+    assert trainer.state.ema.num_updates == 1
+
+    refine_ds = KITTI360Dataset(
+        split="refine", root_path=opt.path, sequence_id=SEQ,
+        scale=opt.scale, offset=opt.offset,
+    )
+    import lidar4d_tpu.train.trainer as trainer_mod
+
+    orig = trainer_mod.refine_unet
+
+    def tiny_refine(unet, variables, inputs, gts, **kw):
+        kw.update(steps=2, log_fn=lambda s: None)
+        return orig(unet, variables, inputs, gts, **kw)
+
+    trainer_mod.refine_unet = tiny_refine
+    try:
+        trainer.refine(refine_ds)
+    finally:
+        trainer_mod.refine_unet = orig
+
+    # eval params must now BE the refined params (EMA dropped), so the
+    # trained U-Net — not its random-init EMA shadow — is what evals use
+    assert int(trainer.state.ema.num_updates) == 0
+    ev = trainer._eval_params()
+    got = jax.tree.leaves(ev["unet"]["params"])[0]
+    want = jax.tree.leaves(trainer.state.params["unet"]["params"])[0]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
