@@ -197,6 +197,227 @@ def _bwd_call(spec, idx, wgt, cot_t, n_padded):
     )(idx, wgt, cot_t)
 
 
+# --------------------------------------------------------- factorized kernel
+#
+# The [BN, R] one-hot build above costs O(N * R) VPU compares per corner —
+# the kernel's dominant cost, linear in the table size. Factorizing the row
+# index as  row = hi * 128 + lo  splits the gather into
+#
+#   step1[(h,f), n] = sum_lo T[l, (h,f), lo] * onehot_lo[lo, n]   (MXU)
+#   out[f, n]       = sum_h  step1[(h,f), n] * (hi[n] == h)       (VPU)
+#
+# so the VPU only ever builds [128, BN] tiles (LANE-wide one-hots and the
+# hi-group mask) — O(N * 128) compares regardless of R — while the MXU
+# absorbs the R-dependence as a [HI*F, 128] x [128, BN] matmul (the same
+# FLOPs the classic kernel feeds it, already ~free). The backward table
+# update factorizes the same way: dT[l, lo, (h,f)] = onehot_lo @ hicot.T
+# where hicot[(h,f), n] = (hi[n] == h) * cot[f, n].
+
+_LOG2_LANE = 7  # lo = idx & 127, hi = idx >> 7
+
+
+def _block_n_fact(hf):
+    """Per-block points: the big VMEM residents are [hf, BN] f32 tiles."""
+    return 1024 if hf <= 256 else 512
+
+
+def _fwd_kernel_fact(idx_ref, wgt_ref, tab_ref, out_ref):
+    """Grid (L, NB). Blocks: idx/wgt [1, 2^d, BN], tab [1, HI*F, 128],
+    out [F, BN]."""
+    hf = tab_ref.shape[1]
+    f, bn = out_ref.shape
+    hi_n = hf // f
+    tab = tab_ref[0].astype(jnp.bfloat16)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_LANE, bn), 0)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (hf, bn), 0) // f
+    acc = jnp.zeros((f, bn), jnp.float32)
+    for ci in range(idx_ref.shape[1]):
+        idx = idx_ref[0, ci, :]
+        wgt = wgt_ref[0, ci, :]
+        lo = idx & (_LANE - 1)
+        hi = idx >> _LOG2_LANE
+        oh_lo = jnp.where(
+            iota_lo == lo[None, :], wgt[None, :], 0.0
+        ).astype(jnp.bfloat16)  # [128, BN]
+        step1 = jax.lax.dot_general(
+            tab, oh_lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [HI*F, BN]
+        masked = jnp.where(iota_h == hi[None, :], step1, 0.0)
+        acc = acc + masked.reshape(hi_n, f, bn).sum(axis=0)
+    out_ref[:] = acc
+
+
+def _bwd_kernel_fact(idx_ref, wgt_ref, cot_ref, dtab_ref):
+    """Grid (L, NB), NB innermost. Blocks: idx/wgt [1, 2^d, BN],
+    cot [F, BN], dtab [1, 128, HI*F] (lo-major layout)."""
+    b = pl.program_id(1)
+    hf = dtab_ref.shape[2]
+    f, bn = cot_ref.shape
+    hi_n = hf // f
+    cot_tiled = jnp.broadcast_to(
+        cot_ref[:][None], (hi_n, f, bn)
+    ).reshape(hf, bn).astype(jnp.bfloat16)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_LANE, bn), 0)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (hf, bn), 0) // f
+    acc = jnp.zeros((_LANE, hf), jnp.float32)
+    for ci in range(idx_ref.shape[1]):
+        idx = idx_ref[0, ci, :]
+        wgt = wgt_ref[0, ci, :]
+        lo = idx & (_LANE - 1)
+        hi = idx >> _LOG2_LANE
+        oh_lo = jnp.where(
+            iota_lo == lo[None, :], wgt[None, :], 0.0
+        ).astype(jnp.bfloat16)
+        hicot = jnp.where(iota_h == hi[None, :], cot_tiled, 0).astype(
+            jnp.bfloat16
+        )
+        acc = acc + jax.lax.dot_general(
+            oh_lo, hicot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [128(lo), HI*F]
+
+    @pl.when(b == 0)
+    def _():
+        dtab_ref[0] = acc
+
+    @pl.when(b > 0)
+    def _():
+        dtab_ref[0] = dtab_ref[0] + acc
+
+
+def _pack_table_fact(spec, table):
+    """Flat [rows, F] -> [L, HI*F, 128] with [l, h*F+f, lo] = T_l[h*128+lo, f]."""
+    r_max = _r_max(spec)
+    hi_n = r_max // _LANE
+    f = spec.n_features
+    parts = []
+    for level in range(spec.n_levels):
+        off = spec.level_offsets[level]
+        size = spec.table_sizes[level]
+        part = table[off:off + size]
+        if size < r_max:
+            part = jnp.concatenate(
+                [part, jnp.zeros((r_max - size, f), table.dtype)], axis=0
+            )
+        # [HI*128, F] -> [HI, 128, F] -> [HI, F, 128] -> [HI*F, 128]
+        parts.append(
+            part.reshape(hi_n, _LANE, f).transpose(0, 2, 1).reshape(hi_n * f, _LANE)
+        )
+    return jnp.stack(parts)
+
+
+def _unpack_grad_fact(spec, dpacked):
+    """[L, 128, HI*F] (lo-major) -> flat [rows, F]."""
+    r_max = dpacked.shape[1] * (dpacked.shape[2] // spec.n_features)
+    hi_n = r_max // _LANE
+    f = spec.n_features
+    parts = []
+    for level in range(spec.n_levels):
+        # [128(lo), HI*F] -> [128, HI, F] -> [HI, 128, F] -> [HI*128, F]
+        full = (
+            dpacked[level]
+            .reshape(_LANE, hi_n, f)
+            .transpose(1, 0, 2)
+            .reshape(r_max, f)
+        )
+        parts.append(full[: spec.table_sizes[level]])
+    return jnp.concatenate(parts, axis=0)
+
+
+def _fwd_call_fact(spec, packed, idx, wgt, n):
+    l = spec.n_levels
+    hf = packed.shape[1]
+    f = spec.n_features
+    bn = _block_n_fact(hf)
+    nc = idx.shape[1]
+    pad = (-n) % bn
+    if pad:
+        idx = jnp.concatenate([idx, jnp.zeros((l, nc, pad), idx.dtype)], -1)
+        wgt = jnp.concatenate([wgt, jnp.zeros((l, nc, pad), wgt.dtype)], -1)
+    nb = idx.shape[2] // bn
+
+    out = pl.pallas_call(
+        _fwd_kernel_fact,
+        grid=(l, nb),
+        in_specs=[
+            pl.BlockSpec((1, nc, bn), lambda li, b: (li, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nc, bn), lambda li, b: (li, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hf, _LANE), lambda li, b: (li, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((f, bn), lambda li, b: (li, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((l * f, nb * bn), jnp.float32),
+        interpret=_interpret(),
+    )(idx, wgt, packed)
+    return out.T[:n]
+
+
+def _bwd_call_fact(spec, idx, wgt, cot_t, n_padded):
+    """cot_t: [L*F, N_padded] -> dpacked [L, 128, HI*F]."""
+    l = spec.n_levels
+    r = _r_max(spec)
+    hf = (r // _LANE) * spec.n_features
+    f = spec.n_features
+    bn = _block_n_fact(hf)
+    nc = idx.shape[1]
+    nb = n_padded // bn
+
+    return pl.pallas_call(
+        _bwd_kernel_fact,
+        grid=(l, nb),
+        in_specs=[
+            pl.BlockSpec((1, nc, bn), lambda li, b: (li, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nc, bn), lambda li, b: (li, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, bn), lambda li, b: (li, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _LANE, hf), lambda li, b: (li, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((l, _LANE, hf), jnp.float32),
+        interpret=_interpret(),
+    )(idx, wgt, cot_t)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def hash_encode_onehot_fact(spec: HashEncoderSpec, table, x):
+    """Factorized one-hot hash encode (same contract as hash_encode_onehot)."""
+    idx, wgt = _prep(spec, x)
+    return _fwd_call_fact(spec, _pack_table_fact(spec, table), idx, wgt,
+                          x.shape[0])
+
+
+def _vjp_fwd_fact(spec, table, x):
+    return hash_encode_onehot_fact(spec, table, x), (x,)
+
+
+def _vjp_bwd_fact(spec, res, cot):
+    (x,) = res
+    n = x.shape[0]
+    idx, wgt = _prep(spec, x)
+    hf = (_r_max(spec) // _LANE) * spec.n_features
+    bn = _block_n_fact(hf)
+    pad = (-n) % bn
+    if pad:
+        l = spec.n_levels
+        nc = idx.shape[1]
+        idx = jnp.concatenate([idx, jnp.zeros((l, nc, pad), idx.dtype)], -1)
+        wgt = jnp.concatenate([wgt, jnp.zeros((l, nc, pad), wgt.dtype)], -1)
+        cot = jnp.concatenate(
+            [cot, jnp.zeros((pad, cot.shape[1]), cot.dtype)], 0
+        )
+    dpacked = _bwd_call_fact(spec, idx, wgt, cot.T, n + pad)
+    return _unpack_grad_fact(spec, dpacked), jnp.zeros_like(x)
+
+
+hash_encode_onehot_fact.defvjp(_vjp_fwd_fact, _vjp_bwd_fact)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def hash_encode_onehot(spec: HashEncoderSpec, table, x):
     """MXU one-hot hash encode. Same contract as ops.hash_enc.hash_encode.
@@ -240,6 +461,11 @@ def onehot_eligible(spec: HashEncoderSpec, max_rows=4096):
     return max(spec.table_sizes) <= max_rows
 
 
+# Which one-hot kernel hash_encode_auto dispatches to; flipped to "fact"
+# once the factorized kernel is measured faster on the real chip.
+ONEHOT_VARIANT = "classic"
+
+
 def hash_encode_auto(spec: HashEncoderSpec, table, x, row_offset=None,
                      max_rows=4096):
     """Dispatch: one-hot MXU path for small tables, XLA gather otherwise.
@@ -251,5 +477,7 @@ def hash_encode_auto(spec: HashEncoderSpec, table, x, row_offset=None,
 
     if (row_offset is None and onehot_eligible(spec, max_rows)
             and not _interpret()):
+        if ONEHOT_VARIANT == "fact":
+            return hash_encode_onehot_fact(spec, table, x)
         return hash_encode_onehot(spec, table, x)
     return hash_encode(spec, table, x, row_offset=row_offset)

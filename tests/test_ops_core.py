@@ -347,3 +347,33 @@ def test_hash_encode_onehot_matches_gather():
     gscale = float(jnp.abs(g_ref).max())
     np.testing.assert_allclose(np.asarray(g_oh), np.asarray(g_ref),
                                atol=2e-2 * gscale)
+
+
+def test_hash_encode_onehot_fact_matches_gather():
+    """Factorized (hi/lo row split) one-hot kernel vs the XLA gather path,
+    forward and table gradient, 2D and 3D, dense and hashed levels."""
+    from lidar4d_tpu.ops.hash_onehot import hash_encode_onehot_fact
+
+    for spec in (
+        HashEncoderSpec(n_dims=3, n_levels=4, n_features=8,
+                        log2_hashmap_size=10, base_resolution=8,
+                        max_resolution=64),
+        HashEncoderSpec(n_dims=2, n_levels=3, n_features=4,
+                        log2_hashmap_size=9, base_resolution=16,
+                        max_resolution=128),
+    ):
+        table = init_hash_table(jax.random.PRNGKey(0), spec)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (300, spec.n_dims))
+        ref = np.asarray(hash_encode(spec, table, x))
+        out = np.asarray(hash_encode_onehot_fact(spec, table, x))
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(out, ref, atol=2e-2 * scale)
+
+        w = jnp.sin(jnp.arange(ref.size).reshape(ref.shape) * 0.37)
+        g_oh = jax.grad(
+            lambda t: jnp.sum(hash_encode_onehot_fact(spec, t, x) * w)
+        )(table)
+        g_ref = jax.grad(lambda t: jnp.sum(hash_encode(spec, t, x) * w))(table)
+        gscale = float(jnp.abs(g_ref).max())
+        np.testing.assert_allclose(np.asarray(g_oh), np.asarray(g_ref),
+                                   atol=2e-2 * gscale)
