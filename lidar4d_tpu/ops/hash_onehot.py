@@ -217,8 +217,11 @@ _LOG2_LANE = 7  # lo = idx & 127, hi = idx >> 7
 
 
 def _block_n_fact(hf):
-    """Per-block points: the big VMEM residents are [hf, BN] f32 tiles."""
-    return 1024 if hf <= 256 else 512
+    """Per-block points. The unrolled corner loop leaves ~3 [hf, BN] f32/bf16
+    temps per iteration on the Mosaic stack (the classic kernel OOMed from
+    exactly this pattern at [BN, R] scale) — 512 keeps the worst case
+    (8 corners, hf=256) ~5 MB inside the 16 MB scoped-VMEM budget."""
+    return 512
 
 
 def _fwd_kernel_fact(idx_ref, wgt_ref, tab_ref, out_ref):
@@ -461,9 +464,12 @@ def onehot_eligible(spec: HashEncoderSpec, max_rows=4096):
     return max(spec.table_sizes) <= max_rows
 
 
-# Which one-hot kernel hash_encode_auto dispatches to; flipped to "fact"
-# once the factorized kernel is measured faster on the real chip.
-ONEHOT_VARIANT = "classic"
+# Which one-hot kernel hash_encode_auto dispatches to. Measured v5e, 196k
+# points, flagship specs (fwd ms, classic -> fact): static3d R=2048
+# 25.5 -> 3.4, dyn2d R=2048 33.5 -> 3.8, flow3d 17.4 -> 2.8; at R=8192 the
+# factorized kernel holds 8.2 ms where classic needs 84.8 and the gather
+# path's backward 155.6. "classic" kept for A/B probes.
+ONEHOT_VARIANT = "fact"
 
 
 def hash_encode_auto(spec: HashEncoderSpec, table, x, row_offset=None,
@@ -475,9 +481,12 @@ def hash_encode_auto(spec: HashEncoderSpec, table, x, row_offset=None,
     """
     from lidar4d_tpu.ops.hash_enc import hash_encode
 
-    if (row_offset is None and onehot_eligible(spec, max_rows)
-            and not _interpret()):
-        if ONEHOT_VARIANT == "fact":
+    if row_offset is None and not _interpret():
+        # The factorized kernel's VPU cost is R-independent; tables up to
+        # 2^14 rows stay MXU-bound, so its eligibility window is wider than
+        # the classic kernel's.
+        if ONEHOT_VARIANT == "fact" and onehot_eligible(spec, 16384):
             return hash_encode_onehot_fact(spec, table, x)
-        return hash_encode_onehot(spec, table, x)
+        if onehot_eligible(spec, max_rows):
+            return hash_encode_onehot(spec, table, x)
     return hash_encode(spec, table, x, row_offset=row_offset)
