@@ -67,7 +67,7 @@ class Planes4D:
             params.append(planes)
         return params
 
-    def _forward(self, params, pts, combs, comb_ids):
+    def _forward(self, params, pts, combs, comb_ids, coord_grad=True):
         """pts: [N, 4] in [0,1]. Product over the group's planes, concat scales.
 
         On TPU, all planes of a group/scale share one (H, W) shape and batch
@@ -89,7 +89,7 @@ class Planes4D:
             if use_kernel and len({g.shape for g in group}) == 1:
                 g = jnp.stack(group)                                # [P, C, H, W]
                 pt = jnp.stack([pts[:, list(comb)] for comb in combs])
-                feats = plane_bilinear(g, pt)                       # [P, C, N]
+                feats = plane_bilinear(g, pt, coord_grad=coord_grad)  # [P, C, N]
                 acc = feats[0]
                 for k in range(1, len(group)):
                     acc = acc * feats[k]
@@ -110,8 +110,10 @@ class Planes4D:
         ).transpose(2, 0, 1).reshape(n, len(params) * c_dim)
 
     def forward_static(self, params, pts):
+        # static plane pts are ray positions (never learned): the kernel's
+        # coordinate-gradient matmuls are skipped in the backward
         ids = [_COO_COMBS.index(c) for c in _STATIC_COMBS]
-        return self._forward(params, pts, _STATIC_COMBS, ids)
+        return self._forward(params, pts, _STATIC_COMBS, ids, coord_grad=False)
 
     def forward_dynamic(self, params, pts):
         ids = [_COO_COMBS.index(c) for c in _DYNAMIC_COMBS]

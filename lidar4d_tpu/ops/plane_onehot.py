@@ -95,6 +95,35 @@ def _fwd_kernel(C, x_minor, crd_ref, g_ref, out_ref):
         out_ref[0, c, :] = jnp.sum(t * red, axis=1)
 
 
+def _bwd_kernel_tables(C, crd_ref, g_ref, cot_ref, dg_ref):
+    """Table-gradient-only backward (coord_grad=False): per channel one matmul
+    instead of three — used for plane sets sampled at non-learned points
+    (the static (xy, xz, yz) planes, whose pts are ray positions).
+
+    Grid (P, NB), NB innermost. Blocks: crd [1, 2, BN]; g [1, C, Hp, Wp]
+    (unused, kept for spec symmetry); cot [1, C, BN]; dg [1, C, Hp, Wp].
+    """
+    b = pl.program_id(1)
+    bn = crd_ref.shape[2]
+    hp, wp = g_ref.shape[2], g_ref.shape[3]
+
+    @pl.when(b == 0)
+    def _zero():
+        dg_ref[0] = jnp.zeros((C, hp, wp), jnp.float32)
+
+    ox, _ = _tent(crd_ref[0, 0, :], wp, bn)
+    oy, _ = _tent(crd_ref[0, 1, :], hp, bn)
+    oyf = oy.astype(jnp.float32)
+    for c in range(C):
+        cot = cot_ref[0, c, :]
+        a = (oyf * cot[:, None]).astype(jnp.bfloat16)
+        upd = jax.lax.dot_general(
+            a, ox, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dg_ref[0, c] = dg_ref[0, c] + upd
+
+
 def _bwd_kernel(C, crd_ref, g_ref, cot_ref, dg_ref, dt_ref):
     """Grid (P, NB), NB innermost: accumulate dg over point blocks.
 
@@ -165,8 +194,21 @@ def _coord_block():
                         memory_space=pltpu.VMEM)
 
 
+def plane_bilinear(grid, pts, coord_grad=True):
+    """Bilinear-sample P feature planes at P point sets (MXU one-hot path).
+
+    coord_grad=False selects a backward that computes only the table
+    gradient (one matmul per channel instead of three) and returns a zero
+    pts cotangent — correct whenever pts carries no gradient (static
+    planes: ray positions). Forward is identical either way.
+    """
+    if coord_grad:
+        return _plane_bilinear_full(grid, pts)
+    return _plane_bilinear_tables(grid, pts)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
-def plane_bilinear(grid, pts):
+def _plane_bilinear_full(grid, pts):
     """Bilinear-sample P feature planes at P point sets (MXU one-hot path).
 
     Args:
@@ -204,7 +246,7 @@ def plane_bilinear(grid, pts):
 
 
 def _vjp_fwd(grid, pts):
-    return plane_bilinear(grid, pts), (grid, pts)
+    return _plane_bilinear_full(grid, pts), (grid, pts)
 
 
 def _vjp_bwd(res, cot):
@@ -248,7 +290,45 @@ def _vjp_bwd(res, cot):
     return dgrid, jnp.stack([dpx, dpy], axis=-1)
 
 
-plane_bilinear.defvjp(_vjp_fwd, _vjp_bwd)
+_plane_bilinear_full.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _plane_bilinear_tables(grid, pts):
+    return _plane_bilinear_full(grid, pts)
+
+
+def _vjp_fwd_tables(grid, pts):
+    return _plane_bilinear_full(grid, pts), (grid, pts)
+
+
+def _vjp_bwd_tables(res, cot):
+    grid, pts = res
+    p, c, h, w = grid.shape
+    n = pts.shape[1]
+    gpad, crd, npad = _prep(grid, pts)
+    hp, wp = gpad.shape[2], gpad.shape[3]
+    if npad != n:
+        cot = jnp.pad(cot, ((0, 0), (0, 0), (0, npad - n)))
+    dg = pl.pallas_call(
+        functools.partial(_bwd_kernel_tables, c),
+        grid=(p, npad // _BN),
+        in_specs=[
+            _coord_block(),
+            pl.BlockSpec((1, c, hp, wp), lambda pi, b: (pi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, _BN), lambda pi, b: (pi, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, hp, wp), lambda pi, b: (pi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, c, hp, wp), jnp.float32),
+        interpret=_interpret(),
+    )(crd, gpad, cot)
+    return dg[:, :, :h, :w], jnp.zeros_like(pts)
+
+
+_plane_bilinear_tables.defvjp(_vjp_fwd_tables, _vjp_bwd_tables)
 
 
 def plane_bilinear_ref(grid, pts):

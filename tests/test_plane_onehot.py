@@ -140,3 +140,35 @@ def test_out_of_range_coordinate_gradient_is_zero():
 
     dp = jax.grad(loss)(pts)
     np.testing.assert_allclose(np.asarray(dp), 0.0, atol=1e-6)
+
+
+def test_plane_bilinear_tables_only_backward():
+    """coord_grad=False: identical forward and table gradient, zero pts
+    cotangent (used by forward_static, whose pts are ray positions)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lidar4d_tpu.ops.plane_onehot import plane_bilinear, plane_bilinear_ref
+
+    g = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 24))
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (2, 33, 2))
+    cot = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 33))
+
+    out = plane_bilinear(g, pts, coord_grad=False)
+    ref = plane_bilinear_ref(g, pts)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2 * scale)
+
+    gt = jax.grad(
+        lambda gg: jnp.sum(plane_bilinear(gg, pts, coord_grad=False) * cot)
+    )(g)
+    gr = jax.grad(lambda gg: jnp.sum(plane_bilinear_ref(gg, pts) * cot))(g)
+    gscale = float(jnp.abs(gr).max())
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(gr),
+                               atol=2e-2 * gscale)
+
+    dp = jax.grad(
+        lambda pp: jnp.sum(plane_bilinear(g, pp, coord_grad=False))
+    )(pts)
+    assert float(jnp.abs(dp).max()) == 0.0
