@@ -73,6 +73,10 @@ def get_arg_parser(default_config="configs/kitti360_4950.txt"):
     p.add_argument("--refine", action="store_true")
     p.add_argument("--test", action="store_true")
     p.add_argument("--test_eval", action="store_true")
+    # framework extension (no reference analogue): stop after the training
+    # loop — skip the post-train evaluate/test/refine tail. Used by bounded
+    # A/B runs whose signal is the in-train eval_interval metrics.
+    p.add_argument("--train_only", action="store_true")
     p.add_argument("--seed", type=int, default=0)
 
     # dataset

@@ -123,7 +123,11 @@ def main(argv=None):
 
     max_epoch = int(np.ceil(opt.iters / len(train_ds)))
     print(f"max_epoch: {max_epoch}")
-    trainer.train(train_ds, valid_ds, refine_ds, max_epoch)
+    trainer.train(train_ds, valid_ds, refine_ds, max_epoch,
+                  run_refine=not opt.train_only)
+
+    if opt.train_only:
+        return
 
     test_ds = make_ds("test")
     trainer.evaluate(test_ds)

@@ -179,7 +179,7 @@ class Trainer:
         return cache
 
     # ----------------------------------------------------------------- train
-    def train(self, train_ds, valid_ds, refine_ds, max_epochs):
+    def train(self, train_ds, valid_ds, refine_ds, max_epochs, run_refine=True):
         if self.loss_cfg.flow_loss and self.flow_cache is None:
             self.log("Preparing Point Clouds ...")
             cache = self._load_or_build_flow_cache(refine_ds)
@@ -205,7 +205,8 @@ class Trainer:
                 self.evaluate_one_epoch(valid_ds)
                 self.save_checkpoint(best=True)
 
-        self.refine(refine_ds)
+        if run_refine:
+            self.refine(refine_ds)
 
     def train_one_epoch(self, dataset, patch_size):
         step_fn = self._get_step(dataset, patch_size)
