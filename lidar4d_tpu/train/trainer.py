@@ -323,6 +323,7 @@ class Trainer:
             self.loss_cfg.intensity_loss, self.loss_cfg.scale
         )
         total_loss = 0.0
+        t_phase = {"render": 0.0, "loss": 0.0, "meters": 0.0, "panel": 0.0}
 
         for i in range(len(dataset)):
             img = np.asarray(dataset.images_lidar[i])
@@ -330,12 +331,14 @@ class Trainer:
             gt_intensity = img[..., 1] * gt_raydrop
             gt_depth = img[..., 2] * gt_raydrop
 
+            t0 = time.perf_counter()
             raydrop, intensity, depth = self._render_frame(params, dataset, i)
             if self.opt.raydrop_loss == "bce":
                 raydrop = 1 / (1 + np.exp(-raydrop))
             if self.use_refine:
                 raydrop = self._apply_refine(params, raydrop, intensity, depth)
             mask = (raydrop > 0.5).astype(np.float32)
+            t1 = time.perf_counter()
 
             total_loss += float(
                 self.loss_cfg.alpha_d
@@ -345,6 +348,7 @@ class Trainer:
                 + self.loss_cfg.alpha_i
                 * np.mean(np.asarray(intensity_crit(intensity * mask, gt_intensity)))
             )
+            t2 = time.perf_counter()
 
             for mi, meter in enumerate(self.lidar_metrics):
                 if mi == 0:
@@ -353,10 +357,21 @@ class Trainer:
                     meter.update((intensity * mask)[None], gt_intensity[None])
                 else:
                     meter.update((depth * mask)[None], gt_depth[None])
+            t3 = time.perf_counter()
 
             self._save_validation_panel(
                 name, i + 1, raydrop, intensity, depth, mask
             )
+            t4 = time.perf_counter()
+            t_phase["render"] += t1 - t0
+            t_phase["loss"] += t2 - t1
+            t_phase["meters"] += t3 - t2
+            t_phase["panel"] += t4 - t3
+
+        self.log(
+            "    eval time: "
+            + " ".join(f"{k} {v:.1f}s" for k, v in t_phase.items())
+        )
 
         average_loss = total_loss / max(len(dataset), 1)
         self.stats["valid_loss"].append(average_loss)
