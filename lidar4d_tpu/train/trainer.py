@@ -351,12 +351,17 @@ class Trainer:
             t2 = time.perf_counter()
 
             for mi, meter in enumerate(self.lidar_metrics):
+                tm = time.perf_counter()
                 if mi == 0:
                     meter.update(raydrop[None], gt_raydrop[None])
                 elif mi == 1:
                     meter.update((intensity * mask)[None], gt_intensity[None])
                 else:
                     meter.update((depth * mask)[None], gt_depth[None])
+                tag = getattr(meter, "tag", type(meter).__name__)
+                t_phase[f"m:{tag}"] = t_phase.get(f"m:{tag}", 0.0) + (
+                    time.perf_counter() - tm
+                )
             t3 = time.perf_counter()
 
             self._save_validation_panel(
