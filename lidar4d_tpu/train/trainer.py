@@ -284,9 +284,15 @@ class Trainer:
         rays = get_lidar_rays(
             jnp.asarray(frame["pose"]), dataset.intrinsics_lidar, H, W, N=-1
         )
+        # One-hot field configs (remat off) have no padded-gather residents,
+        # so eval can afford 4x bigger inference chunks — fewer, larger
+        # dispatches amortize per-chunk overhead on the tunneled backend.
+        # Gather-path configs keep the memory-bounding 4096 (renderer.py).
+        chunk = 4096 if getattr(self.field.cfg, "remat_density", True) else 16384
         out = render_staged(
             self.field, params, rays["rays_o"], rays["rays_d"],
             jnp.float32(frame["time"]), num_steps=self.opt.num_steps,
+            chunk=chunk,
             num_coarse=getattr(self.opt, "num_coarse", 0),
             num_fine=getattr(self.opt, "num_fine", 0),
         )
