@@ -107,7 +107,13 @@ def main():
             num_frames=FRAMES, near_lidar=1.0 * scale, far_lidar=81.0 * scale,
         )
     else:  # TPU flagship (configs/kitti360_4950_tpu.txt field shape)
-        num_steps, num_coarse, num_fine = 768, 64, 128
+        # hier 128+256: the converged-A/B winner — CD 0.1747 / F 0.8762 vs
+        # uniform-768's 0.1925 / 0.8678 on the bench scene (PERF.md), at
+        # 5.9x the parity arm's rays/s. Override the sample split with
+        # LIDAR4D_BENCH_SAMPLES=coarse,fine (e.g. 64,128 for the fast point).
+        import os as _os
+        _c, _f = (_os.environ.get('LIDAR4D_BENCH_SAMPLES') or '128,256').split(',')
+        num_steps, num_coarse, num_fine = 768, int(_c), int(_f)
         cfg = LiDAR4DConfig(
             num_frames=FRAMES, near_lidar=1.0 * scale, far_lidar=81.0 * scale,
             n_levels_hash=6, n_features_per_level_hash=8,
