@@ -181,11 +181,25 @@ class PointsMeter:
             self.N += 1
             return
 
+        # Bucket-pad to multiples of 8192 with a far sentinel so the chamfer
+        # jit sees a handful of static shapes instead of one per frame —
+        # variable point counts (raydrop-masked clouds) otherwise recompile
+        # every update (~18 s/frame measured, the whole eval-meters budget).
+        # Sentinel points are 1e6 away: never the argmin for any real point,
+        # and their own distances are sliced off before the reduction.
+        n1, n2 = len(pred_lidar), len(gt_lidar)
+
+        def _pad(c):
+            b = ((len(c) + 8191) // 8192) * 8192
+            return np.concatenate(
+                [c, np.full((b - len(c), 3), 1e6, np.float32)], 0
+            )
+
         d1, d2, _, _ = chamfer_distance(
-            jnp.asarray(pred_lidar)[None], jnp.asarray(gt_lidar)[None]
+            jnp.asarray(_pad(pred_lidar))[None], jnp.asarray(_pad(gt_lidar))[None]
         )
-        d1 = np.asarray(d1)
-        d2 = np.asarray(d2)
+        d1 = np.asarray(d1)[:, :n1]
+        d2 = np.asarray(d2)[:, :n2]
         chamfer = float(d1.mean() + d2.mean())
         f, _, _ = fscore(d1, d2, threshold=0.05)  # monoSDF threshold
         self.V.append([chamfer, float(f[0])])

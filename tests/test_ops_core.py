@@ -377,3 +377,31 @@ def test_hash_encode_onehot_fact_matches_gather():
         gscale = float(jnp.abs(g_ref).max())
         np.testing.assert_allclose(np.asarray(g_oh), np.asarray(g_ref),
                                    atol=2e-2 * gscale)
+
+
+def test_points_meter_bucketed_padding_parity():
+    """PointsMeter pads clouds to 8192-buckets with a 1e6 sentinel (static
+    chamfer shapes, no per-frame recompile); CD/F must equal the unpadded
+    computation exactly."""
+    from lidar4d_tpu.eval.meters import PointsMeter, fscore
+    from lidar4d_tpu.ops.chamfer import chamfer_distance
+    from lidar4d_tpu.ops.pano import pano_to_lidar
+
+    rng = np.random.default_rng(1)
+    H, W, scale = 8, 64, 0.01
+    depth = (rng.random((H, W)) * 0.5 + 0.1).astype(np.float32)
+    depth[rng.random((H, W)) < 0.2] = 0.0
+    gt = depth.copy()
+    gt[rng.random((H, W)) < 0.1] = 0.0
+
+    m = PointsMeter(scale=scale, intrinsics=(2.0, 26.9))
+    m.update(depth[None], gt[None])
+    cd_b, f_b = m.measure()
+
+    p = pano_to_lidar(depth / scale, (2.0, 26.9)).astype(np.float32)
+    g = pano_to_lidar(gt / scale, (2.0, 26.9)).astype(np.float32)
+    d1, d2, _, _ = chamfer_distance(jnp.asarray(p)[None], jnp.asarray(g)[None])
+    cd_ref = float(np.asarray(d1).mean() + np.asarray(d2).mean())
+    f_ref, _, _ = fscore(np.asarray(d1), np.asarray(d2), threshold=0.05)
+    np.testing.assert_allclose(cd_b, cd_ref, rtol=1e-5)
+    np.testing.assert_allclose(f_b, float(f_ref[0]), atol=1e-9)
