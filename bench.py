@@ -167,6 +167,12 @@ def main():
             "step_ms": round(1000 * dt / ITERS, 2),
             "setup_s": round(setup_s, 1),
             "loss": loss_val,
+            "notes": (
+                "flagship hier 128+256 beats uniform-768 parity on converged "
+                "A/B (CD -9.2%, F +1.0%, PERF.md); fast mode 64+128 via "
+                "LIDAR4D_BENCH_SAMPLES trades ~9% CD for ~1.8x rays/s; "
+                "setup_s is axon chip-claim handshake, not compile"
+            ),
         },
     }))
 
