@@ -222,13 +222,20 @@ def render_rays(
 
 
 @partial(jax.jit, static_argnames=("field", "num_steps", "chunk", "num_coarse",
-                                   "num_fine"))
+                                   "num_fine", "mesh"))
 def render_staged(field, params, rays_o, rays_d, t, num_steps=768, chunk=4096,
-                  num_coarse=0, num_fine=0):
+                  num_coarse=0, num_fine=0, mesh=None):
     """Full-frame inference rendering in fixed-size chunks (renderer.py:159-181).
 
     rays_o/rays_d: [N, 3] with N arbitrary; output has the same N.
+
+    With `mesh` (a data mesh from parallel.mesh.make_mesh), each chunk's ray
+    axis is sharded over the mesh — rays are embarrassingly parallel at
+    inference, so eval/test/simulator frame renders scale linearly over
+    chips with no collective beyond the output gather (params replicated).
     """
+    from lidar4d_tpu.parallel.mesh import shard_rays
+
     n = rays_o.shape[0]
     pad = (-n) % chunk
     ro = jnp.concatenate([rays_o, jnp.zeros((pad, 3), rays_o.dtype)], 0)
@@ -241,6 +248,8 @@ def render_staged(field, params, rays_o, rays_d, t, num_steps=768, chunk=4096,
 
     def one(args):
         o, d = args
+        if mesh is not None:
+            o, d = shard_rays(mesh, o, d)
         r = render_rays(
             field, params, o, d, t, num_steps=num_steps, perturb=False,
             with_aux=False, num_coarse=num_coarse, num_fine=num_fine,

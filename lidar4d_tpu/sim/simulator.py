@@ -92,8 +92,13 @@ class Simulator:
         return np.asarray(out[0, 0])
 
     def render(self, rays_o, rays_d, times, save_pc=True, save_img=True,
-               save_video=True):
-        """rays_o/rays_d: [B, H*W, 3]; times: [B] in [0,1]."""
+               save_video=True, mesh=None):
+        """rays_o/rays_d: [B, H*W, 3]; times: [B] in [0,1].
+
+        `mesh`: optional data mesh — shards each frame's rays over the
+        devices (params must be replicated on it); frame renders then scale
+        linearly over chips, the path to interactive novel-view rates.
+        """
         H, W = self.H_lidar, self.W_lidar
         frames = []
         pred_lidar = None
@@ -104,6 +109,7 @@ class Simulator:
                 jnp.float32(times[i]), num_steps=self.opt.num_steps,
                 num_coarse=getattr(self.opt, "num_coarse", 0),
                 num_fine=getattr(self.opt, "num_fine", 0),
+                mesh=mesh,
             )
             raydrop = np.asarray(out["image_lidar"][:, 0]).reshape(H, W)
             intensity = np.asarray(out["image_lidar"][:, 1]).reshape(H, W)

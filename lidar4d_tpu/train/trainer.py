@@ -295,6 +295,7 @@ class Trainer:
             chunk=chunk,
             num_coarse=getattr(self.opt, "num_coarse", 0),
             num_fine=getattr(self.opt, "num_fine", 0),
+            mesh=self.mesh,
         )
         pred_raydrop = np.asarray(out["image_lidar"][:, 0]).reshape(H, W)
         pred_intensity = np.asarray(out["image_lidar"][:, 1]).reshape(H, W)

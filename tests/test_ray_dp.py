@@ -128,3 +128,43 @@ def test_sharded_gradient_scale(setup):
     d8 = np.asarray(s8.params["sigma"][0] - state0.params["sigma"][0])
     denom = max(np.abs(d1).max(), 1e-12)
     assert np.abs(d8 - d1).max() / denom < 1e-3
+
+
+def test_render_staged_sharded_matches_single(synth_field_and_rays=None):
+    """render_staged over an 8-device mesh == single-device (rays are
+    embarrassingly parallel at inference; params replicated)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lidar4d_tpu.models.lidar4d import LiDAR4DConfig, LiDAR4DField
+    from lidar4d_tpu.models.renderer import render_staged
+    from lidar4d_tpu.parallel.mesh import make_mesh, replicate
+
+    cfg = LiDAR4DConfig(
+        n_levels_hash=2, n_features_per_level_hash=4, log2_hashmap_size=8,
+        base_resolution=8, max_resolution=16, n_levels_plane=2,
+        min_resolution=8, flow_n_levels=2, flow_log2_hashmap_size=8,
+        flow_base_resolution=8, flow_max_resolution=16,
+        near_lidar=0.01, far_lidar=0.81, num_frames=4,
+        remat_density=False, density_chunk=0,
+    )
+    field = LiDAR4DField(cfg)
+    params = field.init(jax.random.PRNGKey(0))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    n = 100
+    rays_o = jax.random.uniform(k1, (n, 3), minval=-0.1, maxval=0.1)
+    rays_d = jax.random.normal(k2, (n, 3))
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    t = jnp.float32(0.5)
+
+    ref = render_staged(field, params, rays_o, rays_d, t,
+                        num_steps=16, chunk=64)
+    mesh = make_mesh(8)
+    out = render_staged(field, replicate(mesh, params), rays_o, rays_d, t,
+                        num_steps=16, chunk=64, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(out["depth_lidar"]),
+                               np.asarray(ref["depth_lidar"]),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out["image_lidar"]),
+                               np.asarray(ref["image_lidar"]),
+                               rtol=2e-5, atol=2e-6)
