@@ -415,10 +415,29 @@ def _vjp_bwd_fact(spec, res, cot):
             [cot, jnp.zeros((pad, cot.shape[1]), cot.dtype)], 0
         )
     dpacked = _bwd_call_fact(spec, idx, wgt, cot.T, n + pad)
-    return _unpack_grad_fact(spec, dpacked), jnp.zeros_like(x)
+    return _unpack_grad_fact(spec, dpacked), _poison_coord_grad(x, cot)
 
 
 hash_encode_onehot_fact.defvjp(_vjp_fwd_fact, _vjp_bwd_fact)
+
+
+def _poison_coord_grad(x, cot):
+    """Coordinate cotangent for the one-hot kernels: NaN, not zero.
+
+    The kernels never compute d/dx (corner weights enter as constants), so a
+    caller that differentiates through the coordinates would silently train
+    with zero x-grads if we returned zeros. NaN instead: on every supported
+    path the coordinate cotangent dies at non-learned inputs (ray positions)
+    or a stop_gradient (warped neighbor lookups, lidar4d.py density();
+    hierarchical fine-z is detached in renderer.render_rays), so the NaN is
+    discarded — but a path that reaches parameters (e.g. a removed
+    stop_gradient) turns the loss NaN on the first step: loud, not wrong.
+    Gated on the incoming cotangent being nonzero so a transpose that runs
+    this bwd with a materialized-zero cotangent stays zero. Callers that
+    legitimately need d/dx use hash_encode_auto(coord_grad=True), which
+    forces the differentiable gather path."""
+    poison = jnp.where(jnp.any(cot != 0.0), jnp.nan, 0.0).astype(x.dtype)
+    return poison * jnp.ones_like(x)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -451,10 +470,7 @@ def _vjp_bwd(spec, res, cot):
             [cot, jnp.zeros((pad, cot.shape[1]), cot.dtype)], 0
         )
     dpacked = _bwd_call(spec, idx, wgt, cot.T, n + pad)
-    # d_x is not needed on any training path that feeds the one-hot configs
-    # (ray positions are non-learned; warped lookups are stop_gradient'ed,
-    # lidar4d.py density()); returning a symbolic zero keeps that explicit.
-    return _unpack_grad(spec, dpacked), jnp.zeros_like(x)
+    return _unpack_grad(spec, dpacked), _poison_coord_grad(x, cot)
 
 
 hash_encode_onehot.defvjp(_vjp_fwd, _vjp_bwd)
@@ -470,22 +486,38 @@ def onehot_eligible(spec: HashEncoderSpec, max_rows=4096):
 # factorized kernel holds 8.2 ms where classic needs 84.8 and the gather
 # path's backward 155.6. "classic" kept for A/B probes.
 ONEHOT_VARIANT = "fact"
+# The factorized kernel's VPU cost is R-independent; tables up to 2^14 rows
+# stay MXU-bound, so its default eligibility window is wider than the
+# classic kernel's 4096.
+FACT_MAX_ROWS = 16384
 
 
 def hash_encode_auto(spec: HashEncoderSpec, table, x, row_offset=None,
-                     max_rows=4096):
+                     max_rows=4096, fact_max_rows=None, coord_grad=False):
     """Dispatch: one-hot MXU path for small tables, XLA gather otherwise.
 
     The MXU path only engages on real TPU — on CPU (tests, virtual meshes)
     pallas runs in interpret mode, which is far slower than the gather.
+
+    max_rows bounds the CLASSIC one-hot kernel; fact_max_rows (default
+    FACT_MAX_ROWS) independently bounds the factorized kernel, so a caller
+    passing a tight max_rows to bound VMEM still controls both windows.
+    Pass fact_max_rows=0 (with max_rows=0) to force the exact-f32 gather.
+
+    coord_grad: the one-hot kernels return a SYMBOLIC-ZERO coordinate
+    cotangent — correct only when x carries no gradient (ray positions, or
+    warped lookups under stop_gradient, models/lidar4d.py density()). A call
+    site that needs d/dx MUST pass coord_grad=True to force the gather path,
+    whose corner weights differentiate through autodiff. This keeps the trap
+    explicit: new differentiable-coordinate callers fail loudly in review
+    (grep coord_grad) instead of silently training with zero x-grads.
     """
     from lidar4d_tpu.ops.hash_enc import hash_encode
 
-    if row_offset is None and not _interpret():
-        # The factorized kernel's VPU cost is R-independent; tables up to
-        # 2^14 rows stay MXU-bound, so its eligibility window is wider than
-        # the classic kernel's.
-        if ONEHOT_VARIANT == "fact" and onehot_eligible(spec, 16384):
+    if fact_max_rows is None:
+        fact_max_rows = FACT_MAX_ROWS
+    if row_offset is None and not coord_grad and not _interpret():
+        if ONEHOT_VARIANT == "fact" and onehot_eligible(spec, fact_max_rows):
             return hash_encode_onehot_fact(spec, table, x)
         if onehot_eligible(spec, max_rows):
             return hash_encode_onehot(spec, table, x)

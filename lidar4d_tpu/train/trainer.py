@@ -156,12 +156,19 @@ class Trainer:
     def _load_or_build_flow_cache(self, refine_ds):
         """Flow-loss point clouds (ground-removal RANSAC over every train
         frame — minutes of host work on full-size sequences), cached on disk
-        next to the dataset, keyed by sequence and subsample cap."""
+        next to the dataset. The cache key must cover everything the cloud
+        contents depend on: sequence, subsample cap, scene scale (clouds are
+        stored world-scaled) and frame count — a scale change with a stale
+        seq/cap-only key would silently load wrongly-scaled clouds."""
         cap = int(getattr(self.opt, "flow_cloud_max_points", 0) or 0)
         path = getattr(self.opt, "path", None)
         seq = getattr(self.opt, "sequence_id", "seq")
+        scale_tag = f"{float(self.opt.scale):.8g}"
+        nf = int(getattr(self.opt, "num_frames", 0) or 0)
         cache_file = (
-            os.path.join(path, f"flow_cache_{seq}_cap{cap}.npz")
+            os.path.join(
+                path, f"flow_cache_{seq}_cap{cap}_s{scale_tag}_f{nf}.npz"
+            )
             if path and os.path.isdir(path) else None
         )
         if cache_file and os.path.exists(cache_file):
@@ -276,6 +283,16 @@ class Trainer:
         return ema_params(self.state.ema) if self.state.ema.num_updates > 0 \
             else self.state.params
 
+    def _field_is_onehot(self):
+        """True when every hash table in the field dispatches to the one-hot
+        MXU kernels (ops.hash_onehot.hash_encode_auto), i.e. no padded-gather
+        residuals exist at inference time."""
+        from lidar4d_tpu.ops.hash_onehot import FACT_MAX_ROWS, onehot_eligible
+
+        enc = self.field.hash_encoder
+        specs = [enc.static_spec] + [enc.dynamic_spec(p) for p in range(3)]
+        return all(onehot_eligible(s, FACT_MAX_ROWS) for s in specs)
+
     def _render_frame(self, params, dataset, i):
         from lidar4d_tpu.ops.rays import get_lidar_rays
 
@@ -284,11 +301,13 @@ class Trainer:
         rays = get_lidar_rays(
             jnp.asarray(frame["pose"]), dataset.intrinsics_lidar, H, W, N=-1
         )
-        # One-hot field configs (remat off) have no padded-gather residents,
-        # so eval can afford 4x bigger inference chunks — fewer, larger
-        # dispatches amortize per-chunk overhead on the tunneled backend.
-        # Gather-path configs keep the memory-bounding 4096 (renderer.py).
-        chunk = 4096 if getattr(self.field.cfg, "remat_density", True) else 16384
+        # One-hot field configs have no padded-gather residents, so eval can
+        # afford 4x bigger inference chunks — fewer, larger dispatches
+        # amortize per-chunk overhead on the tunneled backend. Keyed on the
+        # field's actual one-hot eligibility (NOT remat_density, which a
+        # gather-path config could legally disable): gather-path configs keep
+        # the memory-bounding 4096 (renderer.py).
+        chunk = 16384 if self._field_is_onehot() else 4096
         out = render_staged(
             self.field, params, rays["rays_o"], rays["rays_d"],
             jnp.float32(frame["time"]), num_steps=self.opt.num_steps,
@@ -616,3 +635,29 @@ class Trainer:
         self.log(
             f"[INFO] load at epoch {self.epoch}, global step {self.global_step}"
         )
+        if which == "latest":
+            self._overlay_refine_checkpoint()
+
+    def _overlay_refine_checkpoint(self):
+        """If a refine checkpoint at-or-after the restored epoch exists, lay
+        its params (incl. the trained U-Net) over the restored state and drop
+        the EMA, mirroring the in-process refine() hand-off.
+
+        Without this, a standalone `--test_eval` after a completed training
+        run evaluates the full checkpoint's EMA weights — whose U-Net shadow
+        is still the random init — and the default use_refine=True masks
+        depth/intensity with noise. The reference avoids the trap because its
+        `*_refine.pth` sorts last in the latest-checkpoint glob
+        (model/runner.py:1014-1019) and holds the refined full model."""
+        newest = self.ckpt.latest_path(include_refine=True)
+        if newest is None or not newest.endswith("_refine"):
+            return
+        tree = self.ckpt.restore(
+            newest, {"params": self.state.params, "epoch": 0}
+        )
+        if int(tree.get("epoch", 0)) < self.epoch:
+            return  # stale refine from an earlier schedule; keep training state
+        self.state = self.state._replace(
+            params=tree["params"], ema=ema_init(tree["params"])
+        )
+        self.log(f"[INFO] overlaid refine checkpoint {newest} (EMA dropped).")

@@ -379,6 +379,64 @@ def test_hash_encode_onehot_fact_matches_gather():
                                    atol=2e-2 * gscale)
 
 
+def test_onehot_coord_grad_trap_is_loud():
+    """The one-hot kernels never compute d/dx; a caller that differentiates
+    through the coordinates must get a LOUD NaN, not silent zeros — while the
+    supported paths (coords from non-learned inputs or under stop_gradient)
+    stay finite. Guards the trap flagged in VERDICT r2 (ops/hash_onehot.py
+    coordinate cotangent)."""
+    from lidar4d_tpu.ops.hash_onehot import hash_encode_onehot_fact
+
+    spec = HashEncoderSpec(
+        n_dims=2, n_levels=2, n_features=4, log2_hashmap_size=9,
+        base_resolution=8, max_resolution=16,
+    )
+    table = init_hash_table(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 2))
+
+    # differentiating through the coordinates -> NaN (loud failure)
+    shift = jnp.zeros((2,))
+    g_bad = jax.grad(
+        lambda s: jnp.sum(hash_encode_onehot_fact(spec, table, x + s))
+    )(shift)
+    assert np.all(np.isnan(np.asarray(g_bad)))
+
+    # the supported path — stop_gradient'ed coords, table grads live — stays
+    # finite even though x is a function of the differentiated shift
+    g_ok = jax.grad(
+        lambda t, s: jnp.sum(
+            hash_encode_onehot_fact(spec, t, jax.lax.stop_gradient(x + s))
+        ),
+        argnums=0,
+    )(table, shift)
+    assert np.all(np.isfinite(np.asarray(g_ok)))
+
+
+def test_hash_encode_auto_coord_grad_forces_gather():
+    """hash_encode_auto(coord_grad=True) must route to the differentiable
+    gather path (finite, correct d/dx) even for one-hot-eligible tables."""
+    from lidar4d_tpu.ops.hash_onehot import hash_encode_auto
+
+    spec = HashEncoderSpec(
+        n_dims=2, n_levels=2, n_features=4, log2_hashmap_size=9,
+        base_resolution=8, max_resolution=16,
+    )
+    table = init_hash_table(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 2), minval=0.1,
+                           maxval=0.9)
+    g = jax.grad(
+        lambda xx: jnp.sum(hash_encode_auto(spec, table, xx, coord_grad=True))
+    )(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+    # finite-difference sanity on one coordinate
+    e = 1e-3
+    f = lambda xx: float(jnp.sum(hash_encode_auto(spec, table, xx,  # noqa: E731
+                                                  coord_grad=True)))
+    dx = jnp.zeros_like(x).at[0, 0].set(e)
+    fd = (f(x + dx) - f(x - dx)) / (2 * e)
+    np.testing.assert_allclose(float(g[0, 0]), fd, rtol=0.1, atol=1e-3)
+
+
 def test_points_meter_bucketed_padding_parity():
     """PointsMeter pads clouds to 8192-buckets with a 1e6 sentinel (static
     chamfer shapes, no per-frame recompile); CD/F must equal the unpadded

@@ -130,7 +130,7 @@ def test_sharded_gradient_scale(setup):
     assert np.abs(d8 - d1).max() / denom < 1e-3
 
 
-def test_render_staged_sharded_matches_single(synth_field_and_rays=None):
+def test_render_staged_sharded_matches_single():
     """render_staged over an 8-device mesh == single-device (rays are
     embarrassingly parallel at inference; params replicated)."""
     import jax

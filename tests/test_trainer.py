@@ -114,3 +114,16 @@ def test_refine_drops_ema(setup, tmp_path):
     got = jax.tree.leaves(ev["unet"]["params"])[0]
     want = jax.tree.leaves(trainer.state.params["unet"]["params"])[0]
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # ---- standalone reload (train -> exit -> `--test_eval`): a fresh
+    # Trainer loading "latest" must overlay the refine checkpoint so its
+    # eval params reproduce the in-process post-refine U-Net (VERDICT r2
+    # item 4: the full checkpoint's EMA shadow holds an UNTRAINED U-Net).
+    trainer.save_checkpoint()  # full state at the same epoch as the refine
+    t2 = Trainer(
+        "lidar4d", opt, field, build_loss_config(opt), workspace=ws,
+        lidar_metrics=[], use_checkpoint="latest", eval_interval=100,
+    )
+    ev2 = t2._eval_params()
+    got2 = jax.tree.leaves(ev2["unet"]["params"])[0]
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))
