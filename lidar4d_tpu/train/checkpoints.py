@@ -68,7 +68,12 @@ class CheckpointManager:
     # ------------------------------------------------------------------ load
     def latest_path(self, include_refine=False):
         pattern = f"{self.ckpt_dir}/{self.name}_ep*"
-        paths = sorted(glob.glob(pattern))
+        # Skip in-flight orbax saves ("*.orbax-checkpoint-tmp"): a concurrent
+        # or killed writer leaves them behind, and restoring one raises
+        # "Found incomplete checkpoint".
+        paths = sorted(
+            p for p in glob.glob(pattern) if ".orbax-checkpoint-tmp" not in p
+        )
         if not include_refine:
             paths = [p for p in paths if not p.endswith("_refine")]
         return paths[-1] if paths else None

@@ -72,6 +72,21 @@ def test_trainer_train_checkpoint_resume(setup, tmp_path):
     np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
+def test_latest_path_skips_inflight_orbax_tmp(tmp_path):
+    """A concurrent (or killed) writer leaves `*.orbax-checkpoint-tmp` dirs;
+    resolving 'latest' onto one raises 'Found incomplete checkpoint' (hit
+    live when a resume raced a still-running trainer's save)."""
+    from lidar4d_tpu.train.checkpoints import CheckpointManager
+
+    cm = CheckpointManager(str(tmp_path / "ws_tmp"))
+    os.makedirs(os.path.join(cm.ckpt_dir, "lidar4d_ep0001"))
+    os.makedirs(
+        os.path.join(cm.ckpt_dir, "lidar4d_ep0002.orbax-checkpoint-tmp")
+    )
+    assert cm.latest_path().endswith("lidar4d_ep0001")
+    assert cm.latest_path(include_refine=True).endswith("lidar4d_ep0001")
+
+
 def test_refine_drops_ema(setup, tmp_path):
     """refine() must kill the EMA (runner.py:819-821 sets self.ema = None):
     the U-Net is only trained inside refine, so its EMA shadow is still the
