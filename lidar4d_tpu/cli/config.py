@@ -172,6 +172,14 @@ def get_arg_parser(default_config="configs/kitti360_4950.txt"):
                         "-1 = auto, matching remat_density)")
     p.add_argument("--num_devices", type=int, default=0,
                    help="shard ray batches over this many devices (0 = all)")
+    p.add_argument("--mesh", type=str, default="dp",
+                   choices=["dp", "dcn,ici"],
+                   help="device mesh layout: 'dp' = 1-D ray data parallelism; "
+                        "'dcn,ici' = hierarchical (hosts x per-host chips) "
+                        "so the gradient psum rides each host's ICI ring "
+                        "before one cross-host DCN reduce (pod scale)")
+    p.add_argument("--num_hosts", type=int, default=0,
+                   help="rows of the dcn,ici mesh (0 = jax.process_count())")
     p.add_argument("--profile", action="store_true",
                    help="capture a JAX profiler trace of a few steps")
     # synthetic data generation (dataloader = synthetic, data-free envs)

@@ -29,12 +29,24 @@ from lidar4d_tpu.utils.misc import set_seed
 
 
 def main(argv=None):
+    from lidar4d_tpu.parallel.mesh import init_distributed
     from lidar4d_tpu.utils.compile_cache import enable_compilation_cache
+
+    # multi-host (pod) entry: a no-op unless LIDAR4D_COORDINATOR /
+    # LIDAR4D_NUM_PROCS env vars (or a real TPU pod slice) are present.
+    # Must run before the first jax device query.
+    distributed = init_distributed()
 
     enable_compilation_cache()
     parser = get_arg_parser()
     opt = parser.parse_args(argv)
     set_seed(opt.seed)
+    if distributed:
+        import jax
+
+        print(f"[INFO] distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.device_count()} devices "
+              f"({jax.local_device_count()} local), mesh={opt.mesh}")
 
     # args dump (main_lidar4d.py:140-145)
     os.makedirs(opt.workspace, exist_ok=True)

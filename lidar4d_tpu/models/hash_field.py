@@ -25,7 +25,12 @@ from lidar4d_tpu.ops.hash_enc import (
     init_hash_table,
     lagrange_time_interp,
 )
-from lidar4d_tpu.ops.hash_onehot import hash_encode_auto
+from lidar4d_tpu.ops import hash_onehot
+from lidar4d_tpu.ops.hash_onehot import (
+    hash_encode_auto,
+    hash_encode_fact_multi,
+    onehot_eligible,
+)
 
 _PLANE_SELS = ((0, 1), (0, 2), (1, 2))  # xy, xz, yz
 
@@ -121,6 +126,76 @@ class HashGrid4D:
                 lagrange_time_interp(
                     g, t, self.n_levels, self.n_features_per_level, self.num_basis
                 )
+            )
+        return jnp.concatenate(feats, axis=-1)
+
+    def forward_dynamic_multi(self, params, xs, ts, fused=None):
+        """Fused dynamic encode of V time variants — ONE pallas sweep per plane.
+
+        The density query's flow-warp aggregation (lidar4d.density,
+        reference lidar4d.py:139-188) encodes (x, t) plus the two flow-warped
+        neighbors (x+f, t+dt), (x+b, t-dt). Variant 0 is differentiable;
+        variants 1..V-1 reproduce the reference's `with torch.no_grad()`
+        neighbor lookups (lidar4d.py:160,169): their outputs are
+        stop-gradiented here, so neither the tables nor the warped
+        coordinates (-> flow net) receive gradient through them.
+
+        Args:
+          xs: [V, N, 3] in [0, 1] (variants may be flow-warped).
+          ts: [V] scalar times; out-of-range values are clamped at the
+            grid-index level exactly like forward_dynamic.
+        Returns:
+          [V, N, 3*L*F/B] — per-variant identical to forward_dynamic.
+        """
+        v = xs.shape[0]
+        ts = jnp.asarray(ts, jnp.float32)
+        if fused is None:  # auto: fused kernel on TPU for eligible tables
+            fused = (
+                hash_onehot.ONEHOT_VARIANT == "fact"
+                and jax.default_backend() != "cpu"
+                and all(
+                    onehot_eligible(
+                        self.dynamic_spec(p), hash_onehot.FACT_MAX_ROWS
+                    )
+                    for p in range(3)
+                )
+            )
+        if not fused:
+            outs = [self.forward_dynamic(params, xs[vi], ts[vi])
+                    for vi in range(v)]
+            outs = [outs[0]] + [jax.lax.stop_gradient(o) for o in outs[1:]]
+            return jnp.stack(outs)
+
+        idx = jnp.clip(ts, 0.0, 1.0) * (self.time_resolution - 1)     # [V]
+        i1 = jnp.clip(jnp.floor(idx).astype(jnp.int32), 0,
+                      self.time_resolution - 1)
+        i2 = jnp.clip(i1 + 1, 0, self.time_resolution - 1)
+        w2 = (idx - i1.astype(jnp.float32))[:, None, None]
+
+        x = jnp.clip(xs, 0.0, 1.0)
+        feats = []
+        for p, sel in enumerate(_PLANE_SELS):
+            spec = self.dynamic_spec(p)
+            stack = params[f"dynamic_{p}"].reshape(
+                self.time_resolution, spec.n_rows, spec.n_features
+            )
+            # per-variant table-space time blend (see forward_dynamic)
+            tabs = (1.0 - w2) * jnp.take(stack, i1, axis=0) \
+                + w2 * jnp.take(stack, i2, axis=0)          # [V, rows, F]
+            g = hash_encode_fact_multi(
+                spec, tabs[0], tabs[1:], x[:, :, sel]
+            )                                               # [V, N, L*F]
+            g = jnp.concatenate(
+                [g[:1], jax.lax.stop_gradient(g[1:])], axis=0
+            )
+            feats.append(
+                jnp.stack([
+                    lagrange_time_interp(
+                        g[vi], ts[vi], self.n_levels,
+                        self.n_features_per_level, self.num_basis,
+                    )
+                    for vi in range(v)
+                ])
             )
         return jnp.concatenate(feats, axis=-1)
 

@@ -192,7 +192,6 @@ class LiDAR4DField:
         frame_idx = jnp.floor(t * (c.num_frames - 1) + 0.5).astype(jnp.int32)
 
         hash_s = self.hash_encoder.forward_static(params["hash"], x01)
-        hash_d = self.hash_encoder.forward_dynamic(params["hash"], x01, t)
 
         plane_s = self.planes_encoder.forward_static(
             params["planes"],
@@ -200,34 +199,33 @@ class LiDAR4DField:
                 [x01, jnp.full((x01.shape[0], 1), t, x01.dtype)], axis=-1
             ),
         )
-        # all samples share the scalar t -> time-collapsed dynamic planes
-        # (exact bilinear semantics, one-hot matmul form; planes_field.py)
-        plane_d = self.planes_encoder.forward_dynamic_scalar_t(
-            params["planes"], x01, t
-        )
 
         if c.flow_warp:
             flow = self.flow_net(params["flow"], x01, t)
 
-            # forward neighbor (valid when frame_idx < num_frames - 1)
+            # neighbor times: the reference's /num_frames quirk
+            # (lidar4d.py:157-173); t2 enters clamped like the original call
             t1 = (frame_idx.astype(jnp.float32) + 1.0) / c.num_frames
+            t2 = jnp.clip(
+                (frame_idx.astype(jnp.float32) - 1.0) / c.num_frames, 0.0, 1.0
+            )
             x1 = x01 + flow[:, :3]
-            hash_d1 = jax.lax.stop_gradient(
-                self.hash_encoder.forward_dynamic(params["hash"], x1, t1)
-            )
-            plane_d1 = self.planes_encoder.forward_dynamic_scalar_t(
-                params["planes"], x1, t1
-            )
-
-            # backward neighbor (valid when frame_idx > 0)
-            t2 = (frame_idx.astype(jnp.float32) - 1.0) / c.num_frames
             x2 = x01 + flow[:, 3:]
-            hash_d2 = jax.lax.stop_gradient(
-                self.hash_encoder.forward_dynamic(params["hash"], x2, jnp.clip(t2, 0.0, 1.0))
+            xs = jnp.stack([x01, x1, x2])
+            ts = jnp.stack([t, t1, t2])
+
+            # fused 3-variant sweeps: variant 0 differentiable, warped
+            # neighbors no_grad (reference lidar4d.py:160,169) — ONE pallas
+            # grid per plane instead of three (hash), one batched dot_general
+            # per scale instead of three (planes)
+            hd = self.hash_encoder.forward_dynamic_multi(
+                params["hash"], xs, ts
             )
-            plane_d2 = self.planes_encoder.forward_dynamic_scalar_t(
-                params["planes"], x2, jnp.clip(t2, 0.0, 1.0)
+            hash_d, hash_d1, hash_d2 = hd[0], hd[1], hd[2]
+            pd = self.planes_encoder.forward_dynamic_scalar_t_multi(
+                params["planes"], xs, ts
             )
+            plane_d, plane_d1, plane_d2 = pd[0], pd[1], pd[2]
 
             has_next = (frame_idx < c.num_frames - 1).astype(jnp.float32)
             has_prev = (frame_idx > 0).astype(jnp.float32)
@@ -238,6 +236,13 @@ class LiDAR4DField:
 
             plane_d = 0.5 * plane_d + 0.25 * (plane_d1 + plane_d2)
             hash_d = 0.5 * hash_d + 0.25 * (hash_d1 + hash_d2)
+        else:
+            hash_d = self.hash_encoder.forward_dynamic(params["hash"], x01, t)
+            # all samples share the scalar t -> time-collapsed dynamic planes
+            # (exact bilinear semantics, one-hot matmul form; planes_field.py)
+            plane_d = self.planes_encoder.forward_dynamic_scalar_t(
+                params["planes"], x01, t
+            )
 
         features = jnp.concatenate([plane_s, plane_d, hash_s, hash_d], axis=-1)
         h = apply_mlp(params["sigma"], features)

@@ -329,7 +329,10 @@ def _unpack_grad_fact(spec, dpacked):
 
 
 def _fwd_call_fact(spec, packed, idx, wgt, n):
-    l = spec.n_levels
+    # level-block count from the operands, not the spec: the fused
+    # multi-variant path (hash_encode_fact_multi) stacks V variants' levels
+    # into one grid, so packed/idx carry V * n_levels blocks
+    l = packed.shape[0]
     hf = packed.shape[1]
     f = spec.n_features
     bn = _block_n_fact(hf)
@@ -478,6 +481,90 @@ hash_encode_onehot.defvjp(_vjp_fwd, _vjp_bwd)
 
 def onehot_eligible(spec: HashEncoderSpec, max_rows=4096):
     return max(spec.table_sizes) <= max_rows
+
+
+# ------------------------------------------------- fused multi-variant encode
+#
+# The density query's flow-warp aggregation (models/lidar4d.py density())
+# encodes THREE point sets per step — (x, t) plus the two flow-warped
+# neighbors (x+f, t+dt), (x+b, t-dt) — through the same dynamic hash planes.
+# Fusing the V variants into ONE pallas sweep (grid (V*L, NB)) removes two
+# kernel launches and their XLA glue per plane per density call. Only the
+# first variant's table is differentiable: the reference stop-gradients the
+# warped neighbor hash lookups (lidar4d.py:160,169), so the fused backward
+# runs at exactly 1/V of the forward's grid — the neighbor sweeps are
+# forward-only by construction, not by autodiff pruning.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def hash_encode_fact_multi(spec: HashEncoderSpec, table, tables_ng, xs):
+    """Fused factorized one-hot encode of V point sets / table variants.
+
+    Args:
+      spec: per-variant encoder spec (shared).
+      table: [rows, F] variant-0 table (differentiable).
+      tables_ng: [V-1, rows, F] neighbor-variant tables (treated as
+        constants in the backward — table cotangent is zero).
+      xs: [V, N, d] in [0, 1]; xs[0] pairs with `table`.
+
+    Returns [V, N, L*F] (identical per-variant to hash_encode_onehot_fact).
+    """
+    v, n = xs.shape[0], xs.shape[1]
+    packs, idxs, wgts = [], [], []
+    for vi in range(v):
+        tab = table if vi == 0 else tables_ng[vi - 1]
+        packs.append(_pack_table_fact(spec, tab))
+        i, w = _prep(spec, xs[vi])
+        idxs.append(i)
+        wgts.append(w)
+    out = _fwd_call_fact(
+        spec,
+        jnp.concatenate(packs, axis=0),
+        jnp.concatenate(idxs, axis=0),
+        jnp.concatenate(wgts, axis=0),
+        n,
+    )  # [N, V*L*F]
+    lf = spec.n_levels * spec.n_features
+    return out.reshape(n, v, lf).transpose(1, 0, 2)
+
+
+def _vjp_fwd_multi(spec, table, tables_ng, xs):
+    return hash_encode_fact_multi(spec, table, tables_ng, xs), (
+        xs, tables_ng.shape)
+
+
+def _vjp_bwd_multi(spec, res, cot):
+    xs, ng_shape = res
+    x0 = xs[0]
+    cot0 = cot[0]  # [N, L*F]
+    n = x0.shape[0]
+    idx, wgt = _prep(spec, x0)
+    hf = (_r_max(spec) // _LANE) * spec.n_features
+    bn = _block_n_fact(hf)
+    pad = (-n) % bn
+    if pad:
+        l = spec.n_levels
+        nc = idx.shape[1]
+        idx = jnp.concatenate([idx, jnp.zeros((l, nc, pad), idx.dtype)], -1)
+        wgt = jnp.concatenate([wgt, jnp.zeros((l, nc, pad), wgt.dtype)], -1)
+        cot0 = jnp.concatenate(
+            [cot0, jnp.zeros((pad, cot0.shape[1]), cot0.dtype)], 0
+        )
+    dpacked = _bwd_call_fact(spec, idx, wgt, cot0.T, n + pad)
+    # Coordinate poison is gated PER VARIANT: warped neighbor coords
+    # (x + flow) feed the learned flow net, and their cotangent is zero
+    # through the caller's stop_gradient — a blanket any(cot) gate would
+    # leak NaN into the flow gradients via the neighbor variants.
+    any_v = jnp.any(cot != 0.0, axis=(1, 2))          # [V]
+    poison = jnp.where(any_v, jnp.nan, 0.0).astype(xs.dtype)
+    return (
+        _unpack_grad_fact(spec, dpacked),
+        jnp.zeros(ng_shape, jnp.float32),
+        poison[:, None, None] * jnp.ones_like(xs),
+    )
+
+
+hash_encode_fact_multi.defvjp(_vjp_fwd_multi, _vjp_bwd_multi)
 
 
 # Which one-hot kernel hash_encode_auto dispatches to. Measured v5e, 196k

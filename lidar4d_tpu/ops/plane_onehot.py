@@ -42,10 +42,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
-# Points per block. 512 measures within noise of 1024 (the kernel is
-# VPU-build bound, not pipeline bound), and the backward's scoped-VMEM peak
-# at 1024 exceeds the 16 MB limit once the kernel sits inside the full
-# train-step graph (observed 19.97M) — keep the safety margin.
+# Points per block. 512 keeps the fwd's [C*Hp, BN] f32 matmul output at
+# 4 MB for the largest shipped plane (C=8, 256^2) — comfortably inside the
+# 16 MB scoped-VMEM budget with the bf16 table copy and one-hot tiles live.
 _BN = 512
 
 
@@ -58,12 +57,13 @@ def _pad_up(v, m):
     return ((v + m - 1) // m) * m
 
 
-def _tent(u, size, bn, want_d=False):
-    """Weighted 2-hot [BN, size] via the tent identity (bf16), and optionally
-    its d/du (sign form)."""
+def _tent_t(u, size, bn, want_d=False):
+    """Weighted 2-hot, TRANSPOSED [size, BN] (lane = point), via the tent
+    identity (bf16); optionally its d/du (sign form). The transposed layout
+    feeds the channel-batched matmuls directly — no in-kernel transpose."""
     # Mosaic's tpu.iota is integer-only; cast to f32 for the tent
-    iota = jax.lax.broadcasted_iota(jnp.int32, (bn, size), 1).astype(jnp.float32)
-    d = iota - u[:, None]                       # [BN, size]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (size, bn), 0).astype(jnp.float32)
+    d = iota - u[None, :]                       # [size, BN]
     oh = jnp.maximum(0.0, 1.0 - jnp.abs(d))
     if not want_d:
         return oh.astype(jnp.bfloat16), None
@@ -71,64 +71,64 @@ def _tent(u, size, bn, want_d=False):
     return oh.astype(jnp.bfloat16), dd.astype(jnp.bfloat16)
 
 
-def _fwd_kernel(C, x_minor, crd_ref, g_ref, out_ref):
+def _fwd_kernel(C, crd_ref, g_ref, out_ref):
     """Grid (P, NB). Blocks: crd [1, 2, BN] = (u, v); g [1, C, Hp, Wp];
     out [1, C, BN].
 
-    x_minor: True -> matmul contracts W (ox side), VPU-reduce over H;
-    False -> flipped. Chosen so the VPU reduce runs over the smaller axis.
+    Channel-batched: ONE [C*Hp, Wp] x [Wp, BN] MXU matmul contracts W for
+    all channels at once (8x larger matmuls than a per-channel loop — the
+    loop form measured ~11% MFU), then the H contraction is an elementwise
+    multiply against the transposed y one-hot and a SUBLANE reduce (cheaper
+    than the per-channel cross-lane reduce it replaces).
     """
     bn = crd_ref.shape[2]
     hp, wp = g_ref.shape[2], g_ref.shape[3]
-    ox, _ = _tent(crd_ref[0, 0, :], wp, bn)
-    oy, _ = _tent(crd_ref[0, 1, :], hp, bn)
-    if x_minor:
-        mat, red = ox, oy.astype(jnp.float32)
-        c_dims = (((1,), (1,)), ((), ()))   # [BN, Wp] x [Hp, Wp] -> [BN, Hp]
-    else:
-        mat, red = oy, ox.astype(jnp.float32)
-        c_dims = (((1,), (0,)), ((), ()))   # [BN, Hp] x [Hp, Wp] -> [BN, Wp]
-    for c in range(C):
-        gc = g_ref[0, c].astype(jnp.bfloat16)
-        t = jax.lax.dot_general(mat, gc, c_dims,
-                                preferred_element_type=jnp.float32)
-        out_ref[0, c, :] = jnp.sum(t * red, axis=1)
+    oxt, _ = _tent_t(crd_ref[0, 0, :], wp, bn)
+    oyt, _ = _tent_t(crd_ref[0, 1, :], hp, bn)
+    g2 = g_ref[0].astype(jnp.bfloat16).reshape(C * hp, wp)
+    t1 = jax.lax.dot_general(
+        g2, oxt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                           # [C*Hp, BN]
+    oytf = oyt.astype(jnp.float32)
+    out_ref[0] = jnp.sum(t1.reshape(C, hp, bn) * oytf[None], axis=1)
 
 
-def _bwd_kernel_tables(C, crd_ref, g_ref, cot_ref, dg_ref):
-    """Table-gradient-only backward (coord_grad=False): per channel one matmul
-    instead of three — used for plane sets sampled at non-learned points
-    (the static (xy, xz, yz) planes, whose pts are ray positions).
+def _bwd_kernel_tables(C, crd_ref, cot_ref, dg_ref):
+    """Table-gradient-only backward (coord_grad=False) — used for plane sets
+    sampled at non-learned points (the static (xy, xz, yz) planes, whose pts
+    are ray positions). Channel-batched: the scatter-add replacement is ONE
+    [C*Hp, BN] x [BN, Wp] matmul whose left operand is the y one-hot scaled
+    by the cotangent.
 
-    Grid (P, NB), NB innermost. Blocks: crd [1, 2, BN]; g [1, C, Hp, Wp]
-    (unused, kept for spec symmetry); cot [1, C, BN]; dg [1, C, Hp, Wp].
+    Grid (P, NB), NB innermost. Blocks: crd [1, 2, BN]; cot [1, C, BN];
+    dg [1, C, Hp, Wp].
     """
     b = pl.program_id(1)
     bn = crd_ref.shape[2]
-    hp, wp = g_ref.shape[2], g_ref.shape[3]
+    hp, wp = dg_ref.shape[2], dg_ref.shape[3]
 
     @pl.when(b == 0)
     def _zero():
         dg_ref[0] = jnp.zeros((C, hp, wp), jnp.float32)
 
-    ox, _ = _tent(crd_ref[0, 0, :], wp, bn)
-    oy, _ = _tent(crd_ref[0, 1, :], hp, bn)
-    oyf = oy.astype(jnp.float32)
-    for c in range(C):
-        cot = cot_ref[0, c, :]
-        a = (oyf * cot[:, None]).astype(jnp.bfloat16)
-        upd = jax.lax.dot_general(
-            a, ox, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dg_ref[0, c] = dg_ref[0, c] + upd
+    oxt, _ = _tent_t(crd_ref[0, 0, :], wp, bn)
+    oyt, _ = _tent_t(crd_ref[0, 1, :], hp, bn)
+    oytf = oyt.astype(jnp.float32)
+    a = (oytf[None] * cot_ref[0][:, None, :]).astype(jnp.bfloat16)
+    upd = jax.lax.dot_general(
+        a.reshape(C * hp, bn), oxt, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                           # [C*Hp, Wp]
+    dg_ref[0] = dg_ref[0] + upd.reshape(C, hp, wp)
 
 
 def _bwd_kernel(C, crd_ref, g_ref, cot_ref, dg_ref, dt_ref):
-    """Grid (P, NB), NB innermost: accumulate dg over point blocks.
+    """Full backward (tables + coordinates), channel-batched like the
+    forward: three [C*Hp, *] matmuls replace 3C per-channel ones.
 
-    Blocks: crd [1, 2, BN]; g [1, C, Hp, Wp]; cot [1, C, BN];
-    dg [1, C, Hp, Wp]; dt (du, dv) [1, 2, BN].
+    Grid (P, NB), NB innermost. Blocks: crd [1, 2, BN]; g [1, C, Hp, Wp];
+    cot [1, C, BN]; dg [1, C, Hp, Wp]; dt (du, dv) [1, 2, BN].
     """
     b = pl.program_id(1)
     bn = crd_ref.shape[2]
@@ -138,38 +138,33 @@ def _bwd_kernel(C, crd_ref, g_ref, cot_ref, dg_ref, dt_ref):
     def _zero():
         dg_ref[0] = jnp.zeros((C, hp, wp), jnp.float32)
 
-    ox, oxd = _tent(crd_ref[0, 0, :], wp, bn, want_d=True)
-    oy, oyd = _tent(crd_ref[0, 1, :], hp, bn, want_d=True)
-    oyf = oy.astype(jnp.float32)
-    oydf = oyd.astype(jnp.float32)
+    oxt, oxdt = _tent_t(crd_ref[0, 0, :], wp, bn, want_d=True)
+    oyt, oydt = _tent_t(crd_ref[0, 1, :], hp, bn, want_d=True)
+    oytf = oyt.astype(jnp.float32)
+    cotb = cot_ref[0][:, None, :]                  # [C, 1, BN]
 
-    du = jnp.zeros((bn,), jnp.float32)
-    dv = jnp.zeros((bn,), jnp.float32)
-    for c in range(C):
-        gc = g_ref[0, c].astype(jnp.bfloat16)          # [Hp, Wp]
-        cot = cot_ref[0, c, :]                         # [BN] f32
-        # table gradient: (oy * cot)^T @ ox -> [Hp, Wp], accumulated over
-        # point blocks (the MXU replacement for XLA's scatter-add)
-        a = (oyf * cot[:, None]).astype(jnp.bfloat16)
-        upd = jax.lax.dot_general(
-            a, ox, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dg_ref[0, c] = dg_ref[0, c] + upd
+    # table gradient: (oy * cot)^T-batched matmul (the MXU replacement for
+    # XLA's scatter-add), accumulated over point blocks
+    a = (oytf[None] * cotb).astype(jnp.bfloat16)
+    upd = jax.lax.dot_general(
+        a.reshape(C * hp, bn), oxt, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dg_ref[0] = dg_ref[0] + upd.reshape(C, hp, wp)
 
-        # coordinate gradients: contractions against the one-hot derivatives
-        tx_mat = jax.lax.dot_general(
-            ox, gc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                              # [BN, Hp] (fwd T)
-        txd_mat = jax.lax.dot_general(
-            oxd, gc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                              # [BN, Hp]
-        du = du + cot * jnp.sum(txd_mat * oyf, axis=1)
-        dv = dv + cot * jnp.sum(tx_mat * oydf, axis=1)
-    dt_ref[0, 0, :] = du
-    dt_ref[0, 1, :] = dv
+    # coordinate gradients: contractions against the one-hot derivatives
+    g2 = g_ref[0].astype(jnp.bfloat16).reshape(C * hp, wp)
+    t1 = jax.lax.dot_general(
+        g2, oxt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(C, hp, bn)                           # fwd recompute
+    u1 = jax.lax.dot_general(
+        g2, oxdt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(C, hp, bn)
+    oydtf = oydt.astype(jnp.float32)
+    dt_ref[0, 0, :] = jnp.sum(u1 * oytf[None] * cotb, axis=(0, 1))
+    dt_ref[0, 1, :] = jnp.sum(t1 * oydtf[None] * cotb, axis=(0, 1))
 
 
 def _prep(grid, pts):
@@ -230,7 +225,7 @@ def _plane_bilinear_full(grid, pts):
     gpad, crd, npad = _prep(grid, pts)
     hp, wp = gpad.shape[2], gpad.shape[3]
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, c, hp <= wp),
+        functools.partial(_fwd_kernel, c),
         grid=(p, npad // _BN),
         in_specs=[
             _coord_block(),
@@ -315,8 +310,6 @@ def _vjp_bwd_tables(res, cot):
         grid=(p, npad // _BN),
         in_specs=[
             _coord_block(),
-            pl.BlockSpec((1, c, hp, wp), lambda pi, b: (pi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, _BN), lambda pi, b: (pi, 0, b),
                          memory_space=pltpu.VMEM),
         ],
@@ -324,7 +317,7 @@ def _vjp_bwd_tables(res, cot):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, c, hp, wp), jnp.float32),
         interpret=_interpret(),
-    )(crd, gpad, cot)
+    )(crd, cot)
     return dg[:, :, :h, :w], jnp.zeros_like(pts)
 
 

@@ -22,7 +22,11 @@ import numpy as np
 
 from lidar4d_tpu.models.renderer import render_staged
 from lidar4d_tpu.ops.pano import pano_to_lidar
-from lidar4d_tpu.parallel.mesh import make_mesh, replicate
+from lidar4d_tpu.parallel.mesh import (
+    make_hierarchical_mesh,
+    make_mesh,
+    replicate,
+)
 from lidar4d_tpu.train.checkpoints import CheckpointManager
 from lidar4d_tpu.train.ema import ema_init, ema_params, ema_update
 from lidar4d_tpu.train.flow_cache import build_flow_cache
@@ -74,9 +78,20 @@ class Trainer:
         self.global_step = 0
         self.stats = {"loss": [], "valid_loss": [], "results": [], "best_result": None}
 
-        # data-parallel mesh over rays (new capability; reference is 1-GPU)
+        # data-parallel mesh over rays (new capability; reference is 1-GPU).
+        # --mesh dcn,ici builds the hierarchical (hosts x per-host chips)
+        # layout so the gradient psum lowers to per-host ICI reduces + one
+        # DCN cross-host reduce; rays shard over both axes jointly.
         n_dev = getattr(opt, "num_devices", 0) or len(jax.devices())
-        self.mesh = make_mesh(n_dev) if n_dev > 1 else None
+        if n_dev <= 1:
+            self.mesh = None
+        elif getattr(opt, "mesh", "dp") == "dcn,ici":
+            self.mesh = make_hierarchical_mesh(
+                n_hosts=getattr(opt, "num_hosts", 0) or 0,
+                devices=jax.devices()[:n_dev],
+            )
+        else:
+            self.mesh = make_mesh(n_dev)
 
         key = jax.random.PRNGKey(seed)
         self.state, self.optimizer = init_train_state(

@@ -264,3 +264,35 @@ def test_hierarchical_matches_uniform_render(tiny_field):
         )
     )(params)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+def test_hashgrid4d_forward_dynamic_multi_fused_matches_loop():
+    """Fused 3-variant dynamic encode (pallas interpret) == the per-variant
+    loop fallback, values + variant-0 table gradient; neighbor variants are
+    stop-gradiented in both (reference no_grad warped lookups)."""
+    enc = HashGrid4D(
+        base_resolution=16, max_resolution=64, log2_hashmap_size=9,
+        n_levels=4, hash_size_dynamic=(9, 8, 8), time_resolution=4,
+    )
+    params = enc.init(jax.random.PRNGKey(0))
+    xs = jax.random.uniform(jax.random.PRNGKey(1), (3, 97, 3))
+    ts = jnp.asarray([0.5, 0.52, 0.48], jnp.float32)
+
+    got = enc.forward_dynamic_multi(params, xs, ts, fused=True)
+    want = enc.forward_dynamic_multi(params, xs, ts, fused=False)
+    assert got.shape == want.shape == (3, 97, enc.n_output_dims_dynamic)
+    scale = max(float(jnp.abs(want).max()), 1e-6)
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(want) / scale,
+                               rtol=3e-2, atol=3e-2)
+
+    def loss(p, fused):
+        out = enc.forward_dynamic_multi(p, xs, ts, fused=fused)
+        return jnp.sum(out ** 2)
+
+    g_f = jax.grad(lambda p: loss(p, True))(params)
+    g_l = jax.grad(lambda p: loss(p, False))(params)
+    for key in g_f:
+        a, b = np.asarray(g_f[key]), np.asarray(g_l[key])
+        s = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a / s, b / s, rtol=5e-2, atol=5e-2)

@@ -463,3 +463,70 @@ def test_points_meter_bucketed_padding_parity():
     f_ref, _, _ = fscore(np.asarray(d1), np.asarray(d2), threshold=0.05)
     np.testing.assert_allclose(cd_b, cd_ref, rtol=1e-5)
     np.testing.assert_allclose(f_b, float(f_ref[0]), atol=1e-9)
+
+
+def test_hash_encode_fact_multi_matches_single():
+    """Fused V-variant factorized encode == per-variant single encodes;
+    variant-0 table grad matches the single kernel's, neighbor tables get
+    exactly zero grad (the reference's no_grad warped lookups), and
+    stop-gradiented neighbor outputs keep the coord poison gated off."""
+    from lidar4d_tpu.ops.hash_onehot import (
+        hash_encode_fact_multi,
+        hash_encode_onehot_fact,
+    )
+
+    spec = HashEncoderSpec(
+        n_dims=2, n_levels=3, n_features=4, log2_hashmap_size=9,
+        base_resolution=16, max_resolution=128,
+    )
+    k = jax.random.split(jax.random.PRNGKey(0), 4)
+    tab0 = init_hash_table(k[0], spec)
+    tabs_ng = jnp.stack([init_hash_table(k[1], spec),
+                         init_hash_table(k[2], spec)])
+    xs = jax.random.uniform(k[3], (3, 300, 2))
+
+    out = hash_encode_fact_multi(spec, tab0, tabs_ng, xs)
+    for v in range(3):
+        tab = tab0 if v == 0 else tabs_ng[v - 1]
+        want = hash_encode_onehot_fact(spec, tab, xs[v])
+        np.testing.assert_allclose(np.asarray(out[v]), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)
+
+    w = jnp.sin(jnp.arange(out[0].size).reshape(out[0].shape) * 0.37)
+
+    def loss_multi(t, tng):
+        o = hash_encode_fact_multi(spec, t, tng, xs)
+        # neighbor variants consumed under stop_gradient, like density()
+        return jnp.sum(o[0] * w) + jnp.sum(jax.lax.stop_gradient(o[1:]))
+
+    g0, gng = jax.grad(loss_multi, argnums=(0, 1))(tab0, tabs_ng)
+    g_ref = jax.grad(
+        lambda t: jnp.sum(hash_encode_onehot_fact(spec, t, xs[0]) * w)
+    )(tab0)
+    gscale = float(jnp.abs(g_ref).max())
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g_ref),
+                               atol=2e-2 * gscale)
+    assert float(jnp.abs(gng).max()) == 0.0
+
+    # warped coords feed a learned shift: with neighbor outputs
+    # stop-gradiented the flow-like path must stay finite (poison off)
+    def loss_shift(s):
+        o = hash_encode_fact_multi(
+            spec, tab0, tabs_ng,
+            jnp.stack([xs[0], xs[1] + s, xs[2] + s]),
+        )
+        return jnp.sum(o[0] * w) + jnp.sum(jax.lax.stop_gradient(o[1:]))
+
+    gs = jax.grad(loss_shift)(jnp.zeros((2,)))
+    assert np.all(np.isfinite(np.asarray(gs)))
+
+    # but consuming a neighbor output WITHOUT stop_gradient while
+    # differentiating its coords is the coord-grad trap: loud NaN
+    g_bad = jax.grad(
+        lambda s: jnp.sum(
+            hash_encode_fact_multi(
+                spec, tab0, tabs_ng, jnp.stack([xs[0], xs[1] + s, xs[2]])
+            )[1]
+        )
+    )(jnp.zeros((2,)))
+    assert np.all(np.isnan(np.asarray(g_bad)))

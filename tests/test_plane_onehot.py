@@ -172,3 +172,46 @@ def test_plane_bilinear_tables_only_backward():
         lambda pp: jnp.sum(plane_bilinear(g, pp, coord_grad=False))
     )(pts)
     assert float(jnp.abs(dp).max()) == 0.0
+
+
+def test_forward_dynamic_scalar_t_multi_matches_single():
+    """Fused V-variant dynamic planes == V separate scalar-t calls, values
+    and gradients (tables, coords) — the density flow-warp fusion."""
+    from lidar4d_tpu.models.planes_field import Planes4D
+
+    enc = Planes4D(output_dim=8, resolution=(16, 16, 16, 8),
+                   multiscale_res=(1, 2))
+    params = enc.init(jax.random.PRNGKey(0))
+    params = jax.tree.map(
+        lambda p: p + 0.3 * jax.random.normal(jax.random.PRNGKey(1), p.shape),
+        params,
+    )
+    xyzs = jax.random.uniform(jax.random.PRNGKey(2), (3, 157, 3), jnp.float32)
+    ts = jnp.asarray([0.4, 0.47, 0.33], jnp.float32)
+
+    got = enc.forward_dynamic_scalar_t_multi(params, xyzs, ts)
+    for v in range(3):
+        want = enc.forward_dynamic_scalar_t(params, xyzs[v], ts[v])
+        np.testing.assert_allclose(np.asarray(got[v]), np.asarray(want),
+                                   rtol=3e-2, atol=3e-2)
+
+    def loss_multi(p, xs):
+        return jnp.sum(enc.forward_dynamic_scalar_t_multi(p, xs, ts) ** 2)
+
+    def loss_single(p, xs):
+        return sum(
+            jnp.sum(enc.forward_dynamic_scalar_t(p, xs[v], ts[v]) ** 2)
+            for v in range(3)
+        )
+
+    dg, dx = jax.grad(loss_multi, argnums=(0, 1))(params, xyzs)
+    dg_r, dx_r = jax.grad(loss_single, argnums=(0, 1))(params, xyzs)
+    for a, b in zip(jax.tree.leaves(dg), jax.tree.leaves(dg_r)):
+        scale = max(float(jnp.abs(b).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=5e-2, atol=5e-2)
+    scale = max(float(jnp.abs(dx_r).max()), 1e-6)
+    np.testing.assert_allclose(np.asarray(dx) / scale,
+                               np.asarray(dx_r) / scale,
+                               rtol=5e-2, atol=5e-2)

@@ -142,3 +142,27 @@ def test_refine_drops_ema(setup, tmp_path):
     ev2 = t2._eval_params()
     got2 = jax.tree.leaves(ev2["unet"]["params"])[0]
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))
+
+
+def test_trainer_builds_hierarchical_mesh_from_flags(setup, tmp_path):
+    """--mesh dcn,ici + --num_hosts makes the Trainer train on the 2-axis
+    (hosts x per-host chips) mesh — the pod entry path (VERDICT r2 #5)."""
+    import copy
+
+    opt, ds = setup
+    opt = copy.deepcopy(opt)
+    opt.mesh = "dcn,ici"
+    opt.num_hosts = 2
+    opt.num_devices = 8
+    field = LiDAR4DField(build_model_config(opt))
+    trainer = Trainer(
+        "lidar4d", opt, field, build_loss_config(opt),
+        workspace=str(tmp_path / "ws_mesh"), lidar_metrics=[],
+        use_checkpoint="scratch", eval_interval=100,
+    )
+    assert trainer.mesh is not None
+    assert trainer.mesh.axis_names == ("dcn", "ici")
+    assert trainer.mesh.devices.shape == (2, 4)
+    trainer.train_one_epoch(ds, patch_size=1)
+    assert trainer.global_step == len(ds)
+    assert np.isfinite(trainer.stats["loss"][-1])
