@@ -19,7 +19,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 reference CUDA implementation's training throughput (the reference publishes
 no speed numbers — SURVEY.md §6): ~5 steps/s x 1024 rays on an A100-class
 GPU for tiny-cuda-nn hash-grid LiDAR-NeRF pipelines at this sample count.
-Replace with a measured number when the harness measures the reference side.
+The estimate is uncertain to ~2x either way; REF_RAYS_PER_SEC_RANGE bounds
+it and `vs_baseline_range` in the JSON carries the resulting band, so the
+CUDA comparison can be bounded from the JSON alone.
+
+The detail block also reports an analytic FLOP model of the step (see
+`flop_model`): `useful_gflops` counts the logical math (each table lookup at
+its corner-MAC cost, MLPs, chamfer, compositing), `executed_gflops` adds
+the one-hot matmul padding the MXU actually executes (a [*, R] one-hot
+contraction does R/corners times the logical work — the design trades those
+"zero FLOPs" for never touching HBM with indices). MFU numbers divide by
+the v5e bf16 peak (197 TFLOP/s): `mfu_executed` is how busy the MXU is,
+`mfu_useful` is how much of that is logical work — the honest number.
 """
 
 import json
@@ -30,6 +41,8 @@ import time
 import numpy as np
 
 REF_RAYS_PER_SEC = 5000.0
+REF_RAYS_PER_SEC_RANGE = (2500.0, 10000.0)  # ~2x uncertainty either way
+V5E_BF16_PEAK_TFLOPS = 197.0
 
 H, W, FRAMES = 66, 1030, 51
 SEQ = "9000"
@@ -80,6 +93,106 @@ def get_flow_cache(refine_ds, scale):
     cache = build_flow_cache(refine_ds, scale, FRAMES)
     np.savez_compressed(CACHE, **cache)
     return cache
+
+
+def _pad128(r):
+    return ((r + 127) // 128) * 128
+
+
+def flop_model(field, params, num_rays, n_samples, cloud_p, cloud_pg):
+    """Analytic per-step FLOP count: (useful_gflops, executed_gflops).
+
+    useful = the logical math: every table lookup at its corner-MAC cost
+    (2^d corners x F features x 2 flops), MLPs at 2*in*out, the chamfer
+    distance matrices, compositing. Backward counted as 1x forward for
+    table lookups (the gradient is the transposed contraction) and 2x for
+    MLPs; the flow-warp neighbor encodes are forward-only (no_grad).
+
+    executed = useful + the one-hot padding: on the MXU a lookup into an
+    R-row table is a [*, R] matmul (R/2^d times the logical MACs), and a
+    bilinear plane sample contracts the whole padded H x W plane. This is
+    the deliberate design trade (PERF.md): ~free zero-multiplies on the MXU
+    instead of 7-100 ns/index serialized gather/scatter through HBM.
+
+    Excluded (small or non-MXU): frequency encode sin/cos, sort/argsort,
+    sample_pdf, optimizer/EMA elementwise, loss reductions. Chamfer is
+    counted at its matmul FLOPs but executes as a 3-pass scan with argmin,
+    so its wall-clock exceeds what the FLOPs predict.
+    """
+    enc = field.hash_encoder
+    pl_enc = field.planes_encoder
+    useful = 0.0
+    execd = 0.0
+
+    def hash_cost(spec, n_pts, n_fwd_variants=1.0, bwd_variants=1.0):
+        from lidar4d_tpu.ops.hash_onehot import FACT_MAX_ROWS, onehot_eligible
+
+        nonlocal useful, execd
+        corners = 2 ** spec.n_dims
+        f = spec.n_features
+        u = sum(corners * f * 2 for _ in spec.table_sizes)
+        if onehot_eligible(spec, FACT_MAX_ROWS):
+            # one-hot MXU dispatch: each lookup executes an R-row matmul
+            e = sum(_pad128(r) * f * 2 * corners for r in spec.table_sizes)
+        else:
+            # gather path: executed flops = the logical corner MACs (the
+            # cost lives in serialized HBM gathers/scatters, not the MXU)
+            e = u
+        useful += n_pts * u * (n_fwd_variants + bwd_variants)
+        execd += n_pts * e * (n_fwd_variants + bwd_variants)
+
+    n = num_rays * n_samples
+    # hash static (fwd + table-grad bwd)
+    hash_cost(enc.static_spec, n)
+    # hash dynamic: 3 planes, 3 time variants fwd, variant-0 bwd only
+    for p in range(3):
+        hash_cost(enc.dynamic_spec(p), n, n_fwd_variants=3.0, bwd_variants=1.0)
+    # flow grid (3D corners) at the density points + flow MLP
+    if field.flow_net.use_grid:
+        hash_cost(field.flow_net.grid_spec, n)
+
+    def mlp_flops(tree):
+        import jax as _jax
+
+        return sum(
+            2.0 * np.prod(np.shape(w)) for w in _jax.tree.leaves(tree)
+            if np.ndim(w) == 2
+        )
+
+    # K-planes static: 3 planes/scale, 4-corner bilinear; tables-only bwd
+    for scale in pl_enc.multiscale_res:
+        h = pl_enc.resolution[0] * scale
+        c = pl_enc.output_dim
+        useful += n * 3 * 4 * c * 2 * 2                     # fwd + bwd
+        execd += n * 3 * max(h, 8) * _pad128(h) * c * 2 * 2
+        # dynamic (time-collapsed 1-D): 2-corner interp, 3 variants fwd,
+        # all differentiable (bwd ~= 2x fwd: tables + coord grads)
+        useful += n * 3 * 2 * c * 2 * (3 + 6)
+        execd += n * 3 * h * c * 2 * (3 + 6)
+
+    # MLPs: sigma + 2 heads on every sample; flow MLP on density pts (x3
+    # variants fwd, x1 bwd) and on the flow-loss clouds
+    useful += n * (mlp_flops(params["sigma"])
+                   + mlp_flops(params["intensity"])
+                   + mlp_flops(params["raydrop"])) * 3.0
+    flow_mlp = mlp_flops(
+        {k: v for k, v in params["flow"].items() if k != "grid"}
+    )
+    useful += n * flow_mlp * 4.0
+    useful += (cloud_p + cloud_pg) * flow_mlp * 3.0
+    execd += n * (mlp_flops(params["sigma"]) + mlp_flops(params["intensity"])
+                  + mlp_flops(params["raydrop"])) * 3.0
+    execd += n * flow_mlp * 4.0 + (cloud_p + cloud_pg) * flow_mlp * 3.0
+
+    # chamfer matmul flops: batch CD (rays x rays) + flow loss (4 pairs,
+    # P x P, fwd+bwd both ways)
+    cham = (num_rays * num_rays + 4 * cloud_p * cloud_p) * 3 * 2 * 2 * 2.0
+    useful += cham
+    execd += cham
+    # compositing & misc elementwise
+    useful += n * 20.0
+    execd += n * 20.0
+    return useful / 1e9, execd / 1e9
 
 
 def main():
@@ -154,6 +267,46 @@ def main():
     dt = time.perf_counter() - t0
 
     rays_per_sec = ITERS * NUM_RAYS / dt
+    n_samples = (num_coarse + num_fine) or num_steps
+    step_s = dt / ITERS
+
+    # analytic FLOP model + MFU (see flop_model docstring)
+    cloud_p = int(cache["points"].shape[1])
+    cloud_pg = int(cache["ground"].shape[1])
+    useful_g, execd_g = flop_model(
+        field, state.params, NUM_RAYS, n_samples, cloud_p, cloud_pg
+    )
+    peak = V5E_BF16_PEAK_TFLOPS * 1e3  # GFLOP/s
+    mfu_useful = useful_g / step_s / peak
+    mfu_executed = execd_g / step_s / peak
+
+    # second ray-batch point: scaling evidence in the same JSON (skippable
+    # via LIDAR4D_BENCH_SCALING=0 — it costs one extra compile)
+    scaling = None
+    if os.environ.get("LIDAR4D_BENCH_SCALING", "1") != "0":
+        rays2 = 4096 if NUM_RAYS != 4096 else 1024
+        step2 = make_train_step(
+            field, opt, loss_cfg, H=H, W=W, fov_lidar=(2.0, 26.9),
+            num_rays=rays2, num_steps=num_steps, patch_size=1,
+            num_coarse=num_coarse, num_fine=num_fine,
+        )
+        state2, _ = init_train_state(field, jax.random.PRNGKey(0), lr=1e-2,
+                                     iters=30000)
+        for i in range(WARMUP):
+            key, k = jax.random.split(key)
+            state2, m2 = step2(state2, frames[i % len(frames)], cache, k)
+        float(m2["loss"])
+        t0 = time.perf_counter()
+        for i in range(3):
+            key, k = jax.random.split(key)
+            state2, m2 = step2(state2, frames[i % len(frames)], cache, k)
+        float(m2["loss"])
+        dt2 = time.perf_counter() - t0
+        scaling = {"num_rays": rays2,
+                   "rays_per_sec": round(3 * rays2 / dt2, 1),
+                   "step_ms": round(1000 * dt2 / 3, 2)}
+
+    lo, hi = REF_RAYS_PER_SEC_RANGE
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
@@ -163,15 +316,31 @@ def main():
             "backend": jax.default_backend(),
             "config": "reference" if reference else "tpu_flagship",
             "num_rays": NUM_RAYS,
-            "samples_per_ray": (num_coarse + num_fine) or num_steps,
-            "step_ms": round(1000 * dt / ITERS, 2),
+            "samples_per_ray": n_samples,
+            "samples_per_sec": round(rays_per_sec * n_samples, 0),
+            "step_ms": round(1000 * step_s, 2),
             "setup_s": round(setup_s, 1),
             "loss": loss_val,
+            "scaling_point": scaling,
+            "flops_per_step_g": {"useful": round(useful_g, 1),
+                                 "executed": round(execd_g, 1)},
+            "mfu": {"useful": round(mfu_useful, 4),
+                    "executed": round(mfu_executed, 4),
+                    "peak_tflops_bf16": V5E_BF16_PEAK_TFLOPS},
+            "vs_baseline_range": [round(rays_per_sec / hi, 3),
+                                  round(rays_per_sec / lo, 3)],
+            "baseline_note": (
+                f"denominator {REF_RAYS_PER_SEC:.0f} rays/s is a provisional "
+                "estimate of the CUDA reference (publishes no speed numbers); "
+                f"range [{lo:.0f}, {hi:.0f}] bounds it ~2x either way"
+            ),
             "notes": (
                 "flagship hier 128+256 beats uniform-768 parity on converged "
                 "A/B (CD -9.2%, F +1.0%, PERF.md); fast mode 64+128 via "
                 "LIDAR4D_BENCH_SAMPLES trades ~9% CD for ~1.8x rays/s; "
-                "setup_s is axon chip-claim handshake, not compile"
+                "setup_s is axon chip-claim handshake, not compile; "
+                "mfu.useful counts logical lookup/MLP/chamfer math, "
+                "mfu.executed adds the one-hot matmul padding (flop_model)"
             ),
         },
     }))

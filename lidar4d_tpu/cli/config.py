@@ -180,6 +180,11 @@ def get_arg_parser(default_config="configs/kitti360_4950.txt"):
                         "before one cross-host DCN reduce (pod scale)")
     p.add_argument("--num_hosts", type=int, default=0,
                    help="rows of the dcn,ici mesh (0 = jax.process_count())")
+    p.add_argument("--max_epochs", type=int, default=0,
+                   help="stop training after this many epochs while keeping "
+                        "the --iters LR schedule (0 = train the full "
+                        "schedule); for truncated A/B arms whose eval point "
+                        "must share the full schedule's LR decay")
     p.add_argument("--profile", action="store_true",
                    help="capture a JAX profiler trace of a few steps")
     # synthetic data generation (dataloader = synthetic, data-free envs)

@@ -134,6 +134,8 @@ def main(argv=None):
     refine_ds = make_ds("refine")
 
     max_epoch = int(np.ceil(opt.iters / len(train_ds)))
+    if getattr(opt, "max_epochs", 0):
+        max_epoch = min(max_epoch, opt.max_epochs)
     print(f"max_epoch: {max_epoch}")
     trainer.train(train_ds, valid_ds, refine_ds, max_epoch,
                   run_refine=not opt.train_only)

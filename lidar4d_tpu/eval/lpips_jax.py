@@ -54,8 +54,22 @@ def _default_weights(seed=0):
     return params
 
 
+# Default drop-in location for exported calibration weights (README
+# "Metric caveats"): scripts/export_lpips_weights.py writes this file on a
+# machine with torchvision+lpips; its presence flips every LPIPS surface
+# to calibrated mode.
+_DEFAULT_WEIGHTS_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))),
+    "data", "lpips_alexnet.npz",
+)
+
+
 def load_weights():
-    path = os.environ.get("LIDAR4D_LPIPS_WEIGHTS", "")
+    path = os.environ.get("LIDAR4D_LPIPS_WEIGHTS", "") or (
+        _DEFAULT_WEIGHTS_PATH
+        if os.path.exists(_DEFAULT_WEIGHTS_PATH) else ""
+    )
     if path and os.path.exists(path):
         data = dict(np.load(path))
         return data, True

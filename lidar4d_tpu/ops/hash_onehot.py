@@ -224,61 +224,107 @@ def _block_n_fact(hf):
     return 512
 
 
+# step1 VMEM bound for the corner-batched matmul: [HI*F, nc*BN] f32 must
+# stay well inside the 16 MB scoped budget (2 MB at the flagship R=2048 /
+# F=8 / 8 corners); larger tables fall back to the per-corner loop.
+_CORNER_BATCH_MAX_BYTES = 6 * 1024 * 1024
+
+
 def _fwd_kernel_fact(idx_ref, wgt_ref, tab_ref, out_ref):
     """Grid (L, NB). Blocks: idx/wgt [1, 2^d, BN], tab [1, HI*F, 128],
-    out [F, BN]."""
+    out [F, BN].
+
+    The 2^d corner lookups share the level's table, so their lane-wide lo
+    one-hots concatenate along the lane axis into ONE
+    [HI*F, 128] x [128, 2^d*BN] matmul — 8x larger than the per-corner
+    form, which ran at ~30% MFU on the 128-row flagship tables. The
+    per-corner hi-group mask+reduce is unchanged (static lane slices)."""
     hf = tab_ref.shape[1]
     f, bn = out_ref.shape
+    nc = idx_ref.shape[1]
     hi_n = hf // f
     tab = tab_ref[0].astype(jnp.bfloat16)
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_LANE, bn), 0)
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (hf, bn), 0) // f
-    acc = jnp.zeros((f, bn), jnp.float32)
-    for ci in range(idx_ref.shape[1]):
+    batched = hf * nc * bn * 4 <= _CORNER_BATCH_MAX_BYTES
+
+    ohs, his = [], []
+    for ci in range(nc):
         idx = idx_ref[0, ci, :]
         wgt = wgt_ref[0, ci, :]
         lo = idx & (_LANE - 1)
-        hi = idx >> _LOG2_LANE
-        oh_lo = jnp.where(
+        his.append(idx >> _LOG2_LANE)
+        ohs.append(jnp.where(
             iota_lo == lo[None, :], wgt[None, :], 0.0
-        ).astype(jnp.bfloat16)  # [128, BN]
+        ).astype(jnp.bfloat16))  # [128, BN]
+
+    acc = jnp.zeros((f, bn), jnp.float32)
+    if batched:
         step1 = jax.lax.dot_general(
-            tab, oh_lo, (((1,), (0,)), ((), ())),
+            tab, jnp.concatenate(ohs, axis=1), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [HI*F, BN]
-        masked = jnp.where(iota_h == hi[None, :], step1, 0.0)
-        acc = acc + masked.reshape(hi_n, f, bn).sum(axis=0)
+        )  # [HI*F, nc*BN]
+        for ci in range(nc):
+            s = step1[:, ci * bn:(ci + 1) * bn]
+            masked = jnp.where(iota_h == his[ci][None, :], s, 0.0)
+            acc = acc + masked.reshape(hi_n, f, bn).sum(axis=0)
+    else:
+        for ci in range(nc):
+            step1 = jax.lax.dot_general(
+                tab, ohs[ci], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [HI*F, BN]
+            masked = jnp.where(iota_h == his[ci][None, :], step1, 0.0)
+            acc = acc + masked.reshape(hi_n, f, bn).sum(axis=0)
     out_ref[:] = acc
 
 
 def _bwd_kernel_fact(idx_ref, wgt_ref, cot_ref, dtab_ref):
     """Grid (L, NB), NB innermost. Blocks: idx/wgt [1, 2^d, BN],
-    cot [F, BN], dtab [1, 128, HI*F] (lo-major layout)."""
+    cot [F, BN], dtab [1, 128, HI*F] (lo-major layout).
+
+    Corner-batched like the forward: the 2^d per-corner [128, BN] x
+    [BN, HI*F] matmuls concatenate along the contraction (lane) axis into
+    one [128, 2^d*BN] x [2^d*BN, HI*F]."""
     b = pl.program_id(1)
     hf = dtab_ref.shape[2]
     f, bn = cot_ref.shape
+    nc = idx_ref.shape[1]
     hi_n = hf // f
     cot_tiled = jnp.broadcast_to(
         cot_ref[:][None], (hi_n, f, bn)
     ).reshape(hf, bn).astype(jnp.bfloat16)
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_LANE, bn), 0)
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (hf, bn), 0) // f
-    acc = jnp.zeros((_LANE, hf), jnp.float32)
-    for ci in range(idx_ref.shape[1]):
+    batched = hf * nc * bn * 2 <= _CORNER_BATCH_MAX_BYTES
+
+    ohs, hicots = [], []
+    for ci in range(nc):
         idx = idx_ref[0, ci, :]
         wgt = wgt_ref[0, ci, :]
         lo = idx & (_LANE - 1)
         hi = idx >> _LOG2_LANE
-        oh_lo = jnp.where(
+        ohs.append(jnp.where(
             iota_lo == lo[None, :], wgt[None, :], 0.0
-        ).astype(jnp.bfloat16)
-        hicot = jnp.where(iota_h == hi[None, :], cot_tiled, 0).astype(
+        ).astype(jnp.bfloat16))
+        hicots.append(jnp.where(iota_h == hi[None, :], cot_tiled, 0).astype(
             jnp.bfloat16
-        )
-        acc = acc + jax.lax.dot_general(
-            oh_lo, hicot, (((1,), (1,)), ((), ())),
+        ))
+
+    if batched:
+        acc = jax.lax.dot_general(
+            jnp.concatenate(ohs, axis=1),
+            jnp.concatenate(hicots, axis=1),
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [128(lo), HI*F]
+    else:
+        acc = jnp.zeros((_LANE, hf), jnp.float32)
+        for ci in range(nc):
+            acc = acc + jax.lax.dot_general(
+                ohs[ci], hicots[ci], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(b == 0)
     def _():
@@ -480,7 +526,11 @@ hash_encode_onehot.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def onehot_eligible(spec: HashEncoderSpec, max_rows=4096):
-    return max(spec.table_sizes) <= max_rows
+    # n_features must fill the 8-sublane tile: both kernels stream outputs
+    # as [F, BN] blocks and Mosaic requires the sublane dim divisible by 8
+    # (the reference-parity specs' F=4 crash the lowering otherwise — they
+    # belong on the gather path regardless).
+    return spec.n_features % 8 == 0 and max(spec.table_sizes) <= max_rows
 
 
 # ------------------------------------------------- fused multi-variant encode

@@ -335,16 +335,13 @@ def plane_bilinear_ref(grid, pts):
 
 
 # --------------------------------------------------------------------- 1-D
-def plane_linear(grid, x):
+def plane_linear_ref(grid, x):
     """Linear-interpolate P 1-D feature tables at P coordinate sets via a
-    one-hot MATMUL — pure XLA, no kernel needed.
+    one-hot MATMUL — pure XLA (CPU fallback / golden reference).
 
-    Used for the time-collapsed dynamic planes: during a density query every
-    sample shares the scalar time t, so each [C, T, W] (x, t) plane collapses
-    over its (tiny) time axis in XLA, leaving 1-D interpolation where the
-    2-hot weight matrix  relu(1 - |iota - u|)  feeds a single [N, W] @ [W, C]
-    bf16 matmul; the table gradient is the transposed matmul and the
-    coordinate gradient flows through the tent automatically.
+    The 2-hot weight matrix  relu(1 - |iota - u|)  feeds a single
+    [N, W] @ [W, C] bf16 matmul; the table gradient is the transposed
+    matmul and the coordinate gradient flows through the tent automatically.
 
     Args:
       grid: [P, C, W] float32.
@@ -362,3 +359,135 @@ def plane_linear(grid, x):
         (((2,), (2,)), ((0,), (0,))),     # batch P, contract W
         preferred_element_type=jnp.float32,
     )  # [P, N, C]
+
+
+def _lin_fwd_kernel(crd_ref, g_ref, out_ref):
+    """Grid (P, NB). Blocks: crd [1, 1, BN]; g [1, C, Sp]; out [1, C, BN].
+
+    The tent 2-hot lives only in VMEM: the XLA path materializes it as a
+    [P, N, S] bf16 operand (~2 GB HBM round-trip per plane scale at train
+    sample counts — the dominant cost of the time-collapsed dynamic
+    planes), the kernel builds it per block and feeds the MXU directly.
+    """
+    bn = crd_ref.shape[2]
+    sp = g_ref.shape[2]
+    oht, _ = _tent_t(crd_ref[0, 0, :], sp, bn)
+    out_ref[0] = jax.lax.dot_general(
+        g_ref[0].astype(jnp.bfloat16), oht, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [C, BN]
+
+
+def _lin_bwd_kernel(crd_ref, g_ref, cot_ref, dg_ref, dt_ref):
+    """Grid (P, NB), NB innermost. Blocks: crd [1, 1, BN]; g [1, C, Sp];
+    cot [1, C, BN]; dg [1, C, Sp]; dt [1, 1, BN]."""
+    b = pl.program_id(1)
+    bn = crd_ref.shape[2]
+    c, sp = g_ref.shape[1], g_ref.shape[2]
+
+    @pl.when(b == 0)
+    def _zero():
+        dg_ref[0] = jnp.zeros((c, sp), jnp.float32)
+
+    oht, ohdt = _tent_t(crd_ref[0, 0, :], sp, bn, want_d=True)
+    cot = cot_ref[0]                                    # [C, BN] f32
+    # table gradient: cot @ tent^T, accumulated over point blocks
+    dg_ref[0] = dg_ref[0] + jax.lax.dot_general(
+        cot.astype(jnp.bfloat16), oht, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # coordinate gradient: sum_s (g^T cot)[s, n] * dtent[s, n]
+    m = jax.lax.dot_general(
+        g_ref[0].astype(jnp.bfloat16), cot.astype(jnp.bfloat16),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # [Sp, BN]
+    dt_ref[0, 0, :] = jnp.sum(m * ohdt.astype(jnp.float32), axis=0)
+
+
+@jax.custom_vjp
+def _plane_linear_kernel(grid, x):
+    p, c, w = grid.shape
+    n = x.shape[1]
+    sp = max(_pad_up(w, _LANE), _LANE)
+    if sp != w:
+        grid = jnp.pad(grid, ((0, 0), (0, 0), (0, sp - w)))
+    u = (jnp.clip(x, 0.0, 1.0) * (w - 1)).astype(jnp.float32)[:, None, :]
+    npad = _pad_up(max(n, 1), _BN)
+    if npad != n:
+        u = jnp.pad(u, ((0, 0), (0, 0), (0, npad - n)))
+    out = pl.pallas_call(
+        _lin_fwd_kernel,
+        grid=(p, npad // _BN),
+        in_specs=[
+            pl.BlockSpec((1, 1, _BN), lambda pi, b: (pi, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, sp), lambda pi, b: (pi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, _BN), lambda pi, b: (pi, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, c, npad), jnp.float32),
+        interpret=_interpret(),
+    )(u, grid)
+    return out[:, :, :n].transpose(0, 2, 1)  # [P, N, C]
+
+
+def _lin_vjp_fwd(grid, x):
+    return _plane_linear_kernel(grid, x), (grid, x)
+
+
+def _lin_vjp_bwd(res, cot):
+    grid, x = res
+    p, c, w = grid.shape
+    n = x.shape[1]
+    sp = max(_pad_up(w, _LANE), _LANE)
+    gpad = grid if sp == w else jnp.pad(grid, ((0, 0), (0, 0), (0, sp - w)))
+    u = (jnp.clip(x, 0.0, 1.0) * (w - 1)).astype(jnp.float32)[:, None, :]
+    cot_t = cot.transpose(0, 2, 1)  # [P, C, N]
+    npad = _pad_up(max(n, 1), _BN)
+    if npad != n:
+        u = jnp.pad(u, ((0, 0), (0, 0), (0, npad - n)))
+        cot_t = jnp.pad(cot_t, ((0, 0), (0, 0), (0, npad - n)))
+    dg, dt = pl.pallas_call(
+        _lin_bwd_kernel,
+        grid=(p, npad // _BN),
+        in_specs=[
+            pl.BlockSpec((1, 1, _BN), lambda pi, b: (pi, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, sp), lambda pi, b: (pi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, _BN), lambda pi, b: (pi, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c, sp), lambda pi, b: (pi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _BN), lambda pi, b: (pi, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((p, c, sp), jnp.float32),
+            jax.ShapeDtypeStruct((p, 1, npad), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(u, gpad, cot_t)
+    in_rng = ((x >= 0.0) & (x <= 1.0)).astype(jnp.float32)
+    dx = dt[:, 0, :n] * (w - 1) * in_rng
+    return dg[:, :, :w], dx
+
+
+_plane_linear_kernel.defvjp(_lin_vjp_fwd, _lin_vjp_bwd)
+
+
+def plane_linear(grid, x):
+    """Linear-interpolate P 1-D feature tables at P coordinate sets.
+
+    grid [P, C, W] f32, x [P, N] in [0, 1] -> [P, N, C] f32. Differentiable
+    in both grid and x (align_corners tent; zero coordinate gradient outside
+    [0, 1]). Dispatches to a Pallas kernel on TPU (tent one-hot stays in
+    VMEM; the XLA form round-trips a [P, N, W] bf16 operand through HBM)
+    when C fills the 8-sublane tile; XLA path elsewhere.
+    """
+    if _interpret() or grid.shape[1] % 8 != 0:
+        return plane_linear_ref(grid, x)
+    return _plane_linear_kernel(grid, x)

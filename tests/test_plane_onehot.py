@@ -215,3 +215,37 @@ def test_forward_dynamic_scalar_t_multi_matches_single():
     np.testing.assert_allclose(np.asarray(dx) / scale,
                                np.asarray(dx_r) / scale,
                                rtol=5e-2, atol=5e-2)
+
+
+def test_plane_linear_kernel_matches_ref():
+    """Pallas 1-D interp kernel (interpret mode) vs the XLA one-hot path:
+    forward + table/coordinate gradients, padded and unpadded widths."""
+    from lidar4d_tpu.ops.plane_onehot import (
+        _plane_linear_kernel,
+        plane_linear_ref,
+    )
+
+    for w in (128, 67):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(w))
+        grid = jax.random.normal(k1, (5, 8, w), jnp.float32)
+        x = jax.random.uniform(k2, (5, 201), jnp.float32, -0.1, 1.1)
+
+        out = _plane_linear_kernel(grid, x)
+        ref = plane_linear_ref(grid, x)
+        assert out.shape == ref.shape == (5, 201, 8)
+        scale = max(float(jnp.abs(ref).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(out) / scale,
+                                   np.asarray(ref) / scale,
+                                   rtol=2e-2, atol=2e-2)
+
+        cot = jax.random.normal(jax.random.PRNGKey(3), out.shape)
+        dg, dx = jax.grad(
+            lambda g, xx: jnp.sum(_plane_linear_kernel(g, xx) * cot),
+            argnums=(0, 1))(grid, x)
+        dg_r, dx_r = jax.grad(
+            lambda g, xx: jnp.sum(plane_linear_ref(g, xx) * cot),
+            argnums=(0, 1))(grid, x)
+        for a, b in ((dg, dg_r), (dx, dx_r)):
+            s = max(float(jnp.abs(b).max()), 1e-6)
+            np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
+                                       rtol=5e-2, atol=5e-2)
