@@ -53,15 +53,99 @@ def sample_pdf(z_mid, weights, n_samples, key=None):
     # searchsorted's while-loop lowering on TPU at these sizes)
     below = jnp.sum(u[:, :, None] >= cdf[:, None, :], axis=-1) - 1  # [N, S]
     below = jnp.clip(below, 0, c - 1)
-    cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_hi = jnp.take_along_axis(cdf, below + 1, axis=-1)
-    z_lo = jnp.take_along_axis(z_mid, below, axis=-1)
-    z_hi = jnp.take_along_axis(
-        z_mid, jnp.clip(below + 1, 0, c - 1), axis=-1
-    )
+
+    # The four lookups (cdf[below], cdf[below+1], z[below], z[clip(below+1)])
+    # as ONE one-hot contraction instead of take_along_axis: TPU lowers the
+    # [N, S]-into-[N, C] batched gather to a serialized dynamic-slice loop
+    # (~12 ms of the measured 16 ms sample_pdf cost, PERF.md r3), while the
+    # [S, C] x [C, 4] batched matmul rides the MXU. Multiplying by a {0,1}
+    # f32 one-hot and summing is bitwise-exact (x*1=x, x*0=0, x+0=x), so
+    # this is numerically identical to the gathers (test_renderer.py).
+    oh = (below[:, :, None] == jnp.arange(c)).astype(z_mid.dtype)  # [N, S, C]
+    z_shift = jnp.concatenate([z_mid[:, 1:], z_mid[:, -1:]], axis=-1)
+    rhs = jnp.stack([cdf[:, :c], cdf[:, 1:], z_mid, z_shift], axis=-1)
+    looked = jnp.einsum("nsc,ncr->nsr", oh, rhs,
+                        preferred_element_type=z_mid.dtype)
+    cdf_lo, cdf_hi, z_lo, z_hi = (looked[..., i] for i in range(4))
     denom = jnp.maximum(cdf_hi - cdf_lo, 1e-8)
     frac = (u - cdf_lo) / denom
     return z_lo + frac * (z_hi - z_lo)
+
+
+# Max N*T*T elements for merge_sorted's one-hot permutation apply (f32 =
+# 2.4 GB); beyond this (eval render chunks) the argsort fallback is used.
+_MERGE_ONEHOT_MAX_ELEMS = 4096 * 384 * 384
+
+
+def merge_sorted(z_a, z_b, values):
+    """Merge two per-ray SORTED z arrays and co-sort per-sample values.
+
+    Equivalent to (and tested bitwise-identical to) a stable argsort of
+    `concatenate([z_a, z_b], -1)` applied to z and each value — but built
+    from rank arithmetic instead of a sort network: TPU argsort at
+    [N, 384] is ~80 bitonic passes (~10 ms of the measured 12.4 ms
+    merge cost, PERF.md r3), while ranks are two broadcast compare-sums
+    and the permutation applies as a one-hot MXU matmul ({0,1} f32
+    contraction — exact, see sample_pdf).
+
+    Args:
+      z_a: [N, A] sorted ascending along -1 (ties allowed).
+      z_b: [N, B] sorted ascending along -1 (ties allowed).
+      values: list of arrays, each [N, A+B] or [N, A+B, F], already
+        concatenated in (a, b) order along axis 1.
+
+    Returns (z_sorted [N, A+B], [values sorted the same way]). Stable:
+    ties keep a-before-b and original order within each input.
+
+    Large ray batches (eval render chunks are 16384 rays) fall back to the
+    stable argsort path: the [N, T, T] one-hot is N*T*T*4 bytes (9.7 GB at
+    16384x384x384) — fine at train batch sizes (604 MB at 1024), not at
+    eval chunks. Both paths produce bitwise-identical results (tested), so
+    the dispatch is purely a memory/speed tradeoff.
+    """
+    n, a = z_a.shape
+    b = z_b.shape[1]
+    t = a + b
+    if n * t * t > _MERGE_ONEHOT_MAX_ELEMS:
+        z_all = jnp.concatenate([z_a, z_b], axis=-1)
+        order = jnp.argsort(z_all, axis=-1, stable=True)
+        z_sorted = jnp.take_along_axis(z_all, order, axis=-1)
+        outs = [
+            jnp.take_along_axis(v, order, axis=-1) if v.ndim == 2
+            else jnp.take_along_axis(v, order[..., None], axis=1)
+            for v in values
+        ]
+        return z_sorted, outs
+    # Stable-argsort-equivalent target position of every element: its index
+    # within its own (sorted) array + the count of strictly-earlier elements
+    # of the other array ('<' for a vs b, '<=' for b vs a keeps a first on
+    # ties — exactly stable argsort's index order on the concatenation).
+    pos_a = jnp.arange(a) + jnp.sum(
+        z_b[:, None, :] < z_a[:, :, None], axis=-1
+    )
+    pos_b = jnp.arange(b) + jnp.sum(
+        z_a[:, None, :] <= z_b[:, :, None], axis=-1
+    )
+    pos = jnp.concatenate([pos_a, pos_b], axis=-1)  # [N, T], a permutation
+    oh = (pos[:, :, None] == jnp.arange(t)).astype(z_a.dtype)  # [N, T, T]
+
+    z_all = jnp.concatenate([z_a, z_b], axis=-1)
+    flat = [z_all[..., None]]
+    splits = [1]
+    for v in values:
+        vv = v[..., None] if v.ndim == 2 else v
+        flat.append(vv.astype(z_a.dtype))
+        splits.append(vv.shape[-1])
+    stacked = jnp.concatenate(flat, axis=-1)  # [N, T, 1+sum(F)]
+    sorted_all = jnp.einsum("nkp,nkv->npv", oh, stacked,
+                            preferred_element_type=z_a.dtype)
+    outs = []
+    off = 0
+    for width, v in zip(splits, [None] + list(values)):
+        sl = sorted_all[..., off:off + width]
+        outs.append(sl[..., 0] if (v is None or v.ndim == 2) else sl)
+        off += width
+    return outs[0], outs[1:]
 
 
 def _composite_weights(cfg, sigma, z_vals, sample_dist):
@@ -177,14 +261,13 @@ def render_rays(
         zf = sample_pdf(zc, w_c, num_fine, key=k2 if perturb else None)
         sigma_f, geo_f = _query_density(field, params, rays_o, rays_d, zf, t, bound)
 
-        z_all = jnp.concatenate([zc, zf], axis=-1)
-        order = jnp.argsort(z_all, axis=-1)
-        z_vals = jnp.take_along_axis(z_all, order, axis=-1)
-        sigma = jnp.take_along_axis(
-            jnp.concatenate([sigma_c, sigma_f], -1), order, axis=-1
-        )
-        geo = jnp.take_along_axis(
-            jnp.concatenate([geo_c, geo_f], 1), order[..., None], axis=1
+        # zc (jittered grid) and zf (inverse-CDF of sorted stratified u) are
+        # each sorted per ray, so the global sort is a 2-way merge — see
+        # merge_sorted for why that beats argsort on TPU.
+        z_vals, (sigma, geo) = merge_sorted(
+            zc, zf,
+            [jnp.concatenate([sigma_c, sigma_f], -1),
+             jnp.concatenate([geo_c, geo_f], 1)],
         )
         num_steps = num_coarse + num_fine
         sample_dist = (far - near) / num_steps

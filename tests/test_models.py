@@ -296,3 +296,98 @@ def test_hashgrid4d_forward_dynamic_multi_fused_matches_loop():
         a, b = np.asarray(g_f[key]), np.asarray(g_l[key])
         s = max(np.abs(b).max(), 1e-6)
         np.testing.assert_allclose(a / s, b / s, rtol=5e-2, atol=5e-2)
+
+
+def test_sample_pdf_onehot_lookup_matches_gather():
+    """The one-hot contraction lookups inside sample_pdf are bitwise-identical
+    to the take_along_axis formulation they replaced (PERF.md r3)."""
+    from lidar4d_tpu.models.renderer import sample_pdf
+
+    key = jax.random.PRNGKey(7)
+    n, c, s = 16, 33, 57
+    z = jnp.sort(jax.random.uniform(key, (n, c), minval=0.1, maxval=0.9), axis=-1)
+    w = jax.random.uniform(jax.random.PRNGKey(8), (n, c)) ** 4
+
+    def sample_pdf_gather(z_mid, weights, n_samples, key=None):
+        nn, cc = weights.shape
+        pdf = weights + 1e-5
+        pdf = pdf / jnp.sum(pdf, axis=-1, keepdims=True)
+        cdf = jnp.cumsum(pdf, axis=-1)
+        cdf = jnp.concatenate([jnp.zeros((nn, 1), cdf.dtype), cdf], axis=-1)
+        u = (jnp.arange(n_samples, dtype=jnp.float32) + 0.5) / n_samples
+        u = jnp.broadcast_to(u, (nn, n_samples))
+        if key is not None:
+            u = u + (jax.random.uniform(key, (nn, n_samples)) - 0.5) / n_samples
+            u = jnp.clip(u, 1e-6, 1.0 - 1e-6)
+        below = jnp.sum(u[:, :, None] >= cdf[:, None, :], axis=-1) - 1
+        below = jnp.clip(below, 0, cc - 1)
+        cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
+        cdf_hi = jnp.take_along_axis(cdf, below + 1, axis=-1)
+        z_lo = jnp.take_along_axis(z_mid, below, axis=-1)
+        z_hi = jnp.take_along_axis(z_mid, jnp.clip(below + 1, 0, cc - 1), axis=-1)
+        denom = jnp.maximum(cdf_hi - cdf_lo, 1e-8)
+        frac = (u - cdf_lo) / denom
+        return z_lo + frac * (z_hi - z_lo)
+
+    for k in [None, jax.random.PRNGKey(3)]:
+        np.testing.assert_array_equal(
+            np.asarray(sample_pdf(z, w, s, key=k)),
+            np.asarray(sample_pdf_gather(z, w, s, key=k)),
+        )
+    # degenerate: one-hot weights (near-empty cdf intervals)
+    w1 = jnp.zeros((n, c)).at[:, 5].set(1.0)
+    np.testing.assert_array_equal(
+        np.asarray(sample_pdf(z, w1, s)), np.asarray(sample_pdf_gather(z, w1, s))
+    )
+
+
+def test_merge_sorted_matches_stable_argsort():
+    """merge_sorted == stable argsort of the concatenation, bitwise, for z
+    and co-sorted values — including ties within and across the inputs."""
+    from lidar4d_tpu.models.renderer import merge_sorted
+
+    key = jax.random.PRNGKey(11)
+    n, a, b, f = 8, 13, 21, 5
+    # quantize to force plenty of exact ties
+    za = jnp.sort(
+        jnp.round(jax.random.uniform(key, (n, a)) * 16) / 16, axis=-1
+    )
+    zb = jnp.sort(
+        jnp.round(jax.random.uniform(jax.random.PRNGKey(12), (n, b)) * 16) / 16,
+        axis=-1,
+    )
+    sig = jax.random.normal(jax.random.PRNGKey(13), (n, a + b))
+    geo = jax.random.normal(jax.random.PRNGKey(14), (n, a + b, f))
+
+    z_all = jnp.concatenate([za, zb], axis=-1)
+    order = jnp.argsort(z_all, axis=-1, stable=True)
+    want_z = jnp.take_along_axis(z_all, order, axis=-1)
+    want_sig = jnp.take_along_axis(sig, order, axis=-1)
+    want_geo = jnp.take_along_axis(geo, order[..., None], axis=1)
+
+    got_z, (got_sig, got_geo) = merge_sorted(za, zb, [sig, geo])
+    np.testing.assert_array_equal(np.asarray(got_z), np.asarray(want_z))
+    np.testing.assert_array_equal(np.asarray(got_sig), np.asarray(want_sig))
+    np.testing.assert_array_equal(np.asarray(got_geo), np.asarray(want_geo))
+
+
+def test_merge_sorted_fallback_matches_onehot(monkeypatch):
+    """The large-N argsort fallback and the one-hot path agree bitwise."""
+    import lidar4d_tpu.models.renderer as R
+
+    key = jax.random.PRNGKey(21)
+    n, a, b, f = 4, 9, 15, 3
+    za = jnp.sort(jnp.round(jax.random.uniform(key, (n, a)) * 8) / 8, axis=-1)
+    zb = jnp.sort(
+        jnp.round(jax.random.uniform(jax.random.PRNGKey(22), (n, b)) * 8) / 8,
+        axis=-1,
+    )
+    sig = jax.random.normal(jax.random.PRNGKey(23), (n, a + b))
+    geo = jax.random.normal(jax.random.PRNGKey(24), (n, a + b, f))
+
+    z1, (s1, g1) = R.merge_sorted(za, zb, [sig, geo])
+    monkeypatch.setattr(R, "_MERGE_ONEHOT_MAX_ELEMS", 0)
+    z2, (s2, g2) = R.merge_sorted(za, zb, [sig, geo])
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
