@@ -6,7 +6,7 @@ flow-consistency loss over cached full-frame point clouds
 (model/runner.py:166-377) — on a synthetic full-size sequence (66 x 1030
 range images, 51 frames, the KITTI-360 shape).
 
-Default = the TPU-flagship field configuration (hierarchical 64+128
+Default = the TPU-flagship field configuration (hierarchical 128+256
 sampling, one-hot MXU encoders; configs/kitti360_4950_tpu.txt). Pass
 `--reference` for the reference-parity architecture (768 uniform samples,
 2^19-row gather tables) — measured 67 rays/s on v5e (r1): XLA executes its

@@ -83,12 +83,21 @@ class CheckpointManager:
         return p if os.path.exists(p) else None
 
     def restore(self, path, template_tree):
-        with ocp.PyTreeCheckpointer() as ck:
-            return ck.restore(
-                os.path.abspath(path),
-                item=template_tree,
-                restore_args=_restore_args(template_tree),
-            )
+        try:
+            with ocp.PyTreeCheckpointer() as ck:
+                return ck.restore(
+                    os.path.abspath(path),
+                    item=template_tree,
+                    restore_args=_restore_args(template_tree),
+                )
+        except ValueError as e:
+            raise ValueError(
+                f"checkpoint {path} does not match the current train-state "
+                "structure. Checkpoints written before the flat-Adam "
+                "optimizer (PERF.md r3) store per-leaf optax state and "
+                "cannot be resumed; re-train or load params-only via "
+                "ema/params trees."
+            ) from e
 
     def resolve(self, which, include_refine=False):
         """'latest' | 'best' | explicit path -> path or None."""

@@ -6,10 +6,22 @@ Parity with the reference:
     flow/sigma/intensity/raydrop heads at 0.1x lr;
   * per-step LambdaLR decay 0.1 ** (iter / iters) (`main_lidar4d.py:302-305`).
 
-Implemented as optax.multi_transform over the field's param-group labels —
-the label pytree is the idiomatic JAX equivalent of torch param groups.
+Two equivalent implementations:
+  * make_optimizer (default, FLAT): the non-UNet leaves are raveled into ONE
+    vector, optax.scale_by_adam runs on that vector, and the per-group LR
+    multiplier is an elementwise {1.0, 0.1} vector. Adam is elementwise, so
+    this is bitwise-identical to the grouped form (test_train.py) — but it
+    runs as a handful of large fused kernels instead of ~120 tiny per-leaf
+    ones (the measured ~11 ms optimizer slice of the step, PERF.md r3).
+  * make_grouped_optimizer: optax.multi_transform over the field's
+    param-group labels — the direct torch-param-groups analogue, kept as
+    the readable spec and the equivalence-test oracle.
+
+UNet params get zero updates in both (trained separately in the refine
+stage); the flat form simply leaves them out of the vector.
 """
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -24,7 +36,7 @@ def lr_schedule(lr, iters):
 
 
 def make_optimizer(lr, iters, labels):
-    """Build the grouped-LR Adam chain.
+    """Flat single-vector Adam, bitwise-equal to make_grouped_optimizer.
 
     Args:
       lr:     base learning rate.
@@ -32,6 +44,53 @@ def make_optimizer(lr, iters, labels):
       labels: pytree of 'base' | 'head' | 'unet' labels matching params
               (LiDAR4DField.param_group_labels).
     """
+    treedef = jax.tree.structure(labels)
+    lbl = jax.tree.leaves(labels)
+    inner = optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15)
+    sched = lr_schedule(lr, iters)
+
+    def _flatten(tree):
+        leaves = treedef.flatten_up_to(tree)
+        return leaves, jnp.concatenate(
+            [g.ravel() for g, l in zip(leaves, lbl) if l != "unet"]
+        )
+
+    def init(params):
+        _, flat = _flatten(params)
+        return {"adam": inner.init(flat),
+                "count": jnp.zeros([], jnp.int32)}
+
+    def update(grads, state, params=None):
+        g_leaves, flat = _flatten(grads)
+        adam_u, adam_s = inner.update(flat, state["adam"])
+        # Per-element LR: mult_vec * (-sched) multiplies each element by the
+        # identical (mult * sched) scalar the grouped chain would use (IEEE
+        # multiply magnitude is order-independent for a sign flip), so the
+        # final update is bitwise-equal to scale_by_learning_rate's.
+        mult = jnp.concatenate(
+            [jnp.full((g.size,), 0.1 if l == "head" else 1.0, flat.dtype)
+             for g, l in zip(g_leaves, lbl) if l != "unet"]
+        )
+        out_flat = adam_u * (mult * (-sched(state["count"])))
+        new_leaves, off = [], 0
+        for g, l in zip(g_leaves, lbl):
+            if l == "unet":
+                new_leaves.append(jnp.zeros_like(g))
+            else:
+                new_leaves.append(out_flat[off:off + g.size].reshape(g.shape))
+                off += g.size
+        return (
+            jax.tree.unflatten(treedef, new_leaves),
+            {"adam": adam_s,
+             "count": optax.safe_int32_increment(state["count"])},
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_grouped_optimizer(lr, iters, labels):
+    """The grouped-LR Adam chain (multi_transform) — the readable spec and
+    the oracle for make_optimizer's exact-equivalence test."""
     def adam_group(mult):
         return optax.chain(
             optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15),

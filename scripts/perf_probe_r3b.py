@@ -102,6 +102,38 @@ def step_probe():
     print(f"full step 128+256 AFTER tail rewrites: {ms:.1f} ms "
           f"({1024 / ms * 1000:.0f} rays/s)", flush=True)
 
+    # density component split at 196k (matches PERF.md r2/r3 tables)
+    n = 196_608
+    x = jax.random.uniform(jax.random.PRNGKey(4), (n, 3), jnp.float32, -1, 1)
+    x01 = (x + 1.0) / 2.0
+    t = jnp.float32(0.5)
+    params = state.params
+    enc = field.hash_encoder
+    pln = field.planes_encoder
+
+    xs = jnp.stack([x01, x01 + 0.01, x01 - 0.01])
+    ts = jnp.stack([t, t + 0.02, t - 0.02])
+
+    probes = {
+        "hash static": lambda p: enc.forward_static(p["hash"], x01),
+        "hash dyn multi(3)": lambda p: enc.forward_dynamic_multi(
+            p["hash"], xs, ts),
+        "planes static": lambda p: pln.forward_static(
+            p["planes"],
+            jnp.concatenate([x01, jnp.full((n, 1), t)], axis=-1)),
+        "planes dyn multi(3)": lambda p: pln.forward_dynamic_scalar_t_multi(
+            p["planes"], xs, ts),
+        "flow net": lambda p: field.flow_net(p["flow"], x01, t),
+        "density full": lambda p: field.density(p, x, t)["sigma"],
+    }
+    for name, fn in probes.items():
+        f_ms = timeit(jax.jit(lambda p, fn=fn: fn(p)), params, iters=5)
+        g = jax.jit(jax.grad(
+            lambda p, fn=fn: jnp.sum(jnp.asarray(fn(p)).astype(jnp.float32))))
+        b_ms = timeit(lambda p, g=g: g(p)["sigma"], params, iters=5)
+        print(f"density comp {name} 196k: {f_ms:.1f} / {b_ms:.1f} ms",
+              flush=True)
+
 
 if __name__ == "__main__":
     print("backend:", jax.default_backend(), flush=True)

@@ -195,3 +195,42 @@ def test_flow_cache_max_points_subsamples(synth_root):
     valid = capped["valid"] > 0
     assert (capped["mask"][valid].sum(axis=1) <= 128).all()
     assert (capped["gmask"][valid].sum(axis=1) <= 32).all()
+
+
+def test_flat_optimizer_matches_grouped_bitwise():
+    """make_optimizer (flat single-vector Adam) == make_grouped_optimizer
+    (multi_transform spec) bitwise over several steps, including the UNet
+    zero-update group and the 0.1x head LR."""
+    import optax
+
+    from lidar4d_tpu.train.optimizer import make_grouped_optimizer, make_optimizer
+
+    cfg = LiDAR4DConfig(num_frames=5)
+    field = LiDAR4DField(cfg)
+    params = field.init(jax.random.PRNGKey(0))
+    labels = field.param_group_labels(params)
+
+    flat_opt = make_optimizer(1e-2, 100, labels)
+    grp_opt = make_grouped_optimizer(1e-2, 100, labels)
+    s_f = flat_opt.init(params)
+    s_g = grp_opt.init(params)
+    p_f = p_g = params
+
+    key = jax.random.PRNGKey(1)
+    for i in range(3):
+        key, k = jax.random.split(key)
+        ks = jax.random.split(k, len(jax.tree.leaves(params)))
+        grads = jax.tree.unflatten(
+            jax.tree.structure(params),
+            [jax.random.normal(kk, l.shape, l.dtype)
+             for kk, l in zip(ks, jax.tree.leaves(params))],
+        )
+        u_f, s_f = flat_opt.update(grads, s_f, p_f)
+        u_g, s_g = grp_opt.update(grads, s_g, p_g)
+        p_f = optax.apply_updates(p_f, u_f)
+        p_g = optax.apply_updates(p_g, u_g)
+        for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_g)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # unet params untouched
+    for a, b in zip(jax.tree.leaves(p_f["unet"]), jax.tree.leaves(params["unet"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
