@@ -99,7 +99,8 @@ def _pad128(r):
     return ((r + 127) // 128) * 128
 
 
-def flop_model(field, params, num_rays, n_samples, cloud_p, cloud_pg):
+def flop_model(field, params, num_rays, n_samples, cloud_p, cloud_pg,
+               num_coarse=0, num_fine=0):
     """Analytic per-step FLOP count: (useful_gflops, executed_gflops).
 
     useful = the logical math: every table lookup at its corner-MAC cost
@@ -192,6 +193,16 @@ def flop_model(field, params, num_rays, n_samples, cloud_p, cloud_pg):
     # compositing & misc elementwise
     useful += n * 20.0
     execd += n * 20.0
+
+    # hierarchical-sampling one-hot contractions (PERF.md r3 tail rewrites):
+    # the coarse/fine rank-merge applies its permutation as a [T,T]x[T,17]
+    # matmul per ray (fwd + bwd), and sample_pdf's four lookups are one
+    # [S,C]x[C,4] contraction. Logically both are data movement (0 useful
+    # FLOPs) — pure one-hot padding the MXU executes.
+    if num_coarse and num_fine:
+        t_tot = num_coarse + num_fine
+        execd += num_rays * t_tot * t_tot * 17.0 * 2.0 * 2.0
+        execd += num_rays * num_fine * num_coarse * 4.0 * 2.0 * 2.0
     return useful / 1e9, execd / 1e9
 
 
@@ -274,7 +285,8 @@ def main():
     cloud_p = int(cache["points"].shape[1])
     cloud_pg = int(cache["ground"].shape[1])
     useful_g, execd_g = flop_model(
-        field, state.params, NUM_RAYS, n_samples, cloud_p, cloud_pg
+        field, state.params, NUM_RAYS, n_samples, cloud_p, cloud_pg,
+        num_coarse=num_coarse, num_fine=num_fine,
     )
     peak = V5E_BF16_PEAK_TFLOPS * 1e3  # GFLOP/s
     mfu_useful = useful_g / step_s / peak
