@@ -47,7 +47,6 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 H, W, FRAMES = 66, 1030, 51
 SEQ = "9000"
 ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "bench_synth")
-CACHE = os.path.join(ROOT, "flow_cache.npz")
 
 # Ray batch. Measured r2 scaling curve is FLAT (1024 rays: 2855 rays/s,
 # 4096 rays: 2915 rays/s) — the step is compute-bound on the one-hot encoder
@@ -85,13 +84,21 @@ def get_dataset():
 
 
 def get_flow_cache(refine_ds, scale):
+    """Flow-loss clouds at the SHIPPED flagship cap (65536 -> ground 16384,
+    configs/kitti360_4950_tpu.txt) — the uncapped legacy cache carried 3.3x
+    the ground points the real training step pays for. Shares the trainer's
+    cache file (train/trainer.py:_load_or_build_flow_cache naming)."""
     from lidar4d_tpu.train.flow_cache import build_flow_cache
 
-    if os.path.exists(CACHE):
-        z = np.load(CACHE)
+    cap = 65536
+    fn = os.path.join(
+        ROOT, f"flow_cache_{SEQ}_cap{cap}_s{float(scale):.8g}_f{FRAMES}.npz"
+    )
+    if os.path.exists(fn):
+        z = np.load(fn)
         return {k: z[k] for k in z.files}
-    cache = build_flow_cache(refine_ds, scale, FRAMES)
-    np.savez_compressed(CACHE, **cache)
+    cache = build_flow_cache(refine_ds, scale, FRAMES, max_points=cap)
+    np.savez_compressed(fn, **cache)
     return cache
 
 
