@@ -250,36 +250,18 @@ class LiDAR4DField:
         return {"sigma": sigma, "geo_feat": h[:, 1:]}
 
     # ------------------------------------------------------------- attribute
-    def encode_dirs(self, d):
-        """Frequency-encode ray dirs ([N, 3] in [-1, 1]) for attribute().
-
-        Exposed so the renderer can encode ONCE PER RAY and broadcast over
-        samples (dirs are constant along a ray; encoding per sample costs
-        samples-per-ray x the sin/cos work for identical values)."""
-        return frequency_encode((d + 1.0) / 2.0, self.cfg.view_degree)
-
-    def attribute(self, params, d, geo_feat, d_encoded=False):
-        """d: [N, 3] ray dirs in [-1, 1] (or [N, E] encode_dirs output when
-        d_encoded). geo_feat [N, G].
+    def attribute(self, params, d, geo_feat):
+        """d: [N, 3] ray dirs in [-1, 1]; geo_feat [N, G].
 
         Returns [N, 2] = (raydrop, intensity) after sigmoid
-        (lidar4d.py:191-223; masking is applied by the renderer). The two
-        heads have identical shapes, so they run as ONE stacked einsum
-        chain (the per-slice contractions are the separate heads' matmuls).
+        (lidar4d.py:191-223; masking is applied by the renderer).
         """
-        enc = d if d_encoded else self.encode_dirs(d)
-        h = jnp.concatenate([enc, geo_feat], axis=-1).astype(jnp.bfloat16)
-        n_layers = len(params["raydrop"])
-        out = None
-        for li, (wr, wi) in enumerate(zip(params["raydrop"], params["intensity"])):
-            w = jnp.stack([wr, wi]).astype(jnp.bfloat16)  # [2, in, out]
-            if out is None:
-                out = jnp.einsum("ni,kio->nko", h, w)  # shared input layer
-            else:
-                out = jnp.einsum("nki,kio->nko", out, w)
-            if li < n_layers - 1:
-                out = jax.nn.relu(out)
-        return jax.nn.sigmoid(out[..., 0].astype(jnp.float32))  # [N, 2]
+        d01 = (d + 1.0) / 2.0
+        enc = frequency_encode(d01, self.cfg.view_degree)
+        h = jnp.concatenate([enc, geo_feat], axis=-1)
+        intensity = jax.nn.sigmoid(apply_mlp(params["intensity"], h)[:, 0])
+        raydrop = jax.nn.sigmoid(apply_mlp(params["raydrop"], h)[:, 0])
+        return jnp.stack([raydrop, intensity], axis=-1)
 
     # ------------------------------------------------ optimizer group labels
     def param_group_labels(self, params):

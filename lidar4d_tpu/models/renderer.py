@@ -289,15 +289,8 @@ def render_rays(
     weights = _composite_weights(cfg, sigma, z_vals, sample_dist)
 
     mask = (weights > 1e-4).reshape(-1)
-    # dirs are constant along a ray: encode once per ray, broadcast the
-    # encoding over samples (identical values, 1/samples the sin/cos work)
-    enc_ray = field.encode_dirs(rays_d)  # [N, E]
-    enc = jnp.broadcast_to(
-        enc_ray[:, None, :], (n, num_steps, enc_ray.shape[-1])
-    ).reshape(-1, enc_ray.shape[-1])
-    attr = field.attribute(
-        params, enc, geo.reshape(-1, geo.shape[-1]), d_encoded=True
-    )
+    dirs = jnp.broadcast_to(rays_d[:, None, :], xyz.shape).reshape(-1, 3)
+    attr = field.attribute(params, dirs, geo.reshape(-1, geo.shape[-1]))
     attr = jnp.where(mask[:, None], attr, 0.0).reshape(n, num_steps, -1)
 
     weights_sum = jnp.sum(weights, axis=-1)

@@ -391,33 +391,3 @@ def test_merge_sorted_fallback_matches_onehot(monkeypatch):
     np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
-
-
-def test_attribute_batched_heads_match_separate():
-    """Stacked two-head einsum chain == separate per-head apply_mlp calls
-    (same contractions per slice), and the per-ray dir encoding broadcast
-    equals per-sample encoding."""
-    from lidar4d_tpu.models.lidar4d import LiDAR4DConfig, LiDAR4DField, frequency_encode
-    from lidar4d_tpu.ops.mlp import apply_mlp
-
-    cfg = LiDAR4DConfig(num_frames=5)
-    field = LiDAR4DField(cfg)
-    params = field.init(jax.random.PRNGKey(0))
-    n = 64
-    d = jax.random.normal(jax.random.PRNGKey(1), (n, 3))
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    geo = jax.random.normal(jax.random.PRNGKey(2), (n, cfg.geo_feat_dim))
-
-    got = field.attribute(params, d, geo)
-
-    d01 = (d + 1.0) / 2.0
-    enc = frequency_encode(d01, cfg.view_degree)
-    h = jnp.concatenate([enc, geo], axis=-1)
-    want_i = jax.nn.sigmoid(apply_mlp(params["intensity"], h)[:, 0])
-    want_r = jax.nn.sigmoid(apply_mlp(params["raydrop"], h)[:, 0])
-    want = jnp.stack([want_r, want_i], axis=-1)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-
-    # encoded-dirs path: broadcast per-ray encoding == per-sample encoding
-    got2 = field.attribute(params, field.encode_dirs(d), geo, d_encoded=True)
-    np.testing.assert_array_equal(np.asarray(got2), np.asarray(got))
