@@ -61,10 +61,16 @@ def sample_pdf(z_mid, weights, n_samples, key=None):
     # [S, C] x [C, 4] batched matmul rides the MXU. Multiplying by a {0,1}
     # f32 one-hot and summing is bitwise-exact (x*1=x, x*0=0, x+0=x), so
     # this is numerically identical to the gathers (test_renderer.py).
+    # precision=HIGHEST is LOAD-BEARING: TPU f32 matmuls default to ONE bf16
+    # pass, which rounds adjacent cdf values together (increments < bf16 ulp
+    # near 1.0) — cdf_hi - cdf_lo collapses to 0, frac explodes through the
+    # 1e-8 denom clamp, and the r3 flagship run NaN'd its params on exactly
+    # this (PERF.md). Exactness of the one-hot trick requires true f32.
     oh = (below[:, :, None] == jnp.arange(c)).astype(z_mid.dtype)  # [N, S, C]
     z_shift = jnp.concatenate([z_mid[:, 1:], z_mid[:, -1:]], axis=-1)
     rhs = jnp.stack([cdf[:, :c], cdf[:, 1:], z_mid, z_shift], axis=-1)
     looked = jnp.einsum("nsc,ncr->nsr", oh, rhs,
+                        precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=z_mid.dtype)
     cdf_lo, cdf_hi, z_lo, z_hi = (looked[..., i] for i in range(4))
     denom = jnp.maximum(cdf_hi - cdf_lo, 1e-8)
@@ -137,7 +143,10 @@ def merge_sorted(z_a, z_b, values):
         flat.append(vv.astype(z_a.dtype))
         splits.append(vv.shape[-1])
     stacked = jnp.concatenate(flat, axis=-1)  # [N, T, 1+sum(F)]
+    # precision=HIGHEST: see sample_pdf — the one-hot apply must not round
+    # the carried values through TPU's default single bf16 matmul pass.
     sorted_all = jnp.einsum("nkp,nkv->npv", oh, stacked,
+                            precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=z_a.dtype)
     outs = []
     off = 0
