@@ -83,14 +83,14 @@ def get_dataset():
     return ds, refine_ds, m["scale"]
 
 
-def get_flow_cache(refine_ds, scale):
-    """Flow-loss clouds at the SHIPPED flagship cap (65536 -> ground 16384,
-    configs/kitti360_4950_tpu.txt) — the uncapped legacy cache carried 3.3x
-    the ground points the real training step pays for. Shares the trainer's
+def get_flow_cache(refine_ds, scale, cap=65536):
+    """Flow-loss clouds at the selected arm's training cap: 65536 for the
+    flagship (configs/kitti360_4950_tpu.txt) and 16384 for --reference
+    (bench_ab_parityarch*.txt) — each bench row must pay exactly the flow-
+    cloud size its training runs pay (ADVICE r3). Shares the trainer's
     cache file (train/trainer.py:_load_or_build_flow_cache naming)."""
     from lidar4d_tpu.train.flow_cache import build_flow_cache
 
-    cap = 65536
     fn = os.path.join(
         ROOT, f"flow_cache_{SEQ}_cap{cap}_s{float(scale):.8g}_f{FRAMES}.npz"
     )
@@ -230,7 +230,10 @@ def main():
 
     t_setup = time.perf_counter()
     ds, refine_ds, scale = get_dataset()
-    cache = jax.tree.map(jnp.asarray, get_flow_cache(refine_ds, scale))
+    cache = jax.tree.map(
+        jnp.asarray,
+        get_flow_cache(refine_ds, scale, cap=16384 if reference else 65536),
+    )
 
     if reference:
         num_steps, num_coarse, num_fine = 768, 0, 0

@@ -60,7 +60,8 @@ def sample_pdf(z_mid, weights, n_samples, key=None):
     # (~12 ms of the measured 16 ms sample_pdf cost, PERF.md r3), while the
     # [S, C] x [C, 4] batched matmul rides the MXU. Multiplying by a {0,1}
     # f32 one-hot and summing is bitwise-exact (x*1=x, x*0=0, x+0=x), so
-    # this is numerically identical to the gathers (test_renderer.py).
+    # this is numerically identical to the gathers (tests/test_models.py::
+    # test_sample_pdf_onehot_lookup_matches_gather).
     # precision=HIGHEST is LOAD-BEARING: TPU f32 matmuls default to ONE bf16
     # pass, which rounds adjacent cdf values together (increments < bf16 ulp
     # near 1.0) — cdf_hi - cdf_lo collapses to 0, frac explodes through the
@@ -116,9 +117,14 @@ def merge_sorted(z_a, z_b, values):
         z_all = jnp.concatenate([z_a, z_b], axis=-1)
         order = jnp.argsort(z_all, axis=-1, stable=True)
         z_sorted = jnp.take_along_axis(z_all, order, axis=-1)
+        # cast values to z dtype exactly like the one-hot path's stacked
+        # einsum does, so the two paths stay interchangeable for any value
+        # dtype (ADVICE r3: without this, output dtype would depend on which
+        # path the batch size selects)
         outs = [
-            jnp.take_along_axis(v, order, axis=-1) if v.ndim == 2
-            else jnp.take_along_axis(v, order[..., None], axis=1)
+            jnp.take_along_axis(v.astype(z_a.dtype), order, axis=-1)
+            if v.ndim == 2
+            else jnp.take_along_axis(v.astype(z_a.dtype), order[..., None], axis=1)
             for v in values
         ]
         return z_sorted, outs

@@ -641,13 +641,14 @@ def hash_encode_auto(spec: HashEncoderSpec, table, x, row_offset=None,
     passing a tight max_rows to bound VMEM still controls both windows.
     Pass fact_max_rows=0 (with max_rows=0) to force the exact-f32 gather.
 
-    coord_grad: the one-hot kernels return a SYMBOLIC-ZERO coordinate
-    cotangent — correct only when x carries no gradient (ray positions, or
+    coord_grad: the one-hot kernels NaN-POISON the coordinate cotangent
+    (_poison_coord_grad): any graph that propagates d/dx through them turns
+    NaN immediately instead of silently training with zero x-grads. They are
+    therefore only correct when x carries no gradient (ray positions, or
     warped lookups under stop_gradient, models/lidar4d.py density()). A call
     site that needs d/dx MUST pass coord_grad=True to force the gather path,
-    whose corner weights differentiate through autodiff. This keeps the trap
-    explicit: new differentiable-coordinate callers fail loudly in review
-    (grep coord_grad) instead of silently training with zero x-grads.
+    whose corner weights differentiate through autodiff — a forgotten flag
+    fails loudly at the first training step, not in review.
     """
     from lidar4d_tpu.ops.hash_enc import hash_encode
 

@@ -46,6 +46,14 @@ def make_optimizer(lr, iters, labels):
     """
     treedef = jax.tree.structure(labels)
     lbl = jax.tree.leaves(labels)
+    # The flat form maps any unknown label to the 1.0 base multiplier, so a
+    # typo'd label would silently train at full LR (the grouped
+    # multi_transform would raise). Fail at build time instead.
+    unknown = sorted(set(lbl) - {"base", "head", "unet"})
+    if unknown:
+        raise ValueError(
+            f"unknown param-group labels {unknown}; expected base/head/unet"
+        )
     inner = optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15)
     sched = lr_schedule(lr, iters)
 

@@ -28,7 +28,7 @@ from lidar4d_tpu.parallel.mesh import (
     replicate,
 )
 from lidar4d_tpu.train.checkpoints import CheckpointManager
-from lidar4d_tpu.train.ema import ema_init, ema_params, ema_update
+from lidar4d_tpu.train.ema import EmaState, ema_init, ema_params, ema_update
 from lidar4d_tpu.train.flow_cache import build_flow_cache
 from lidar4d_tpu.train.refine import refine_unet
 from lidar4d_tpu.train.train_step import init_train_state, make_train_step
@@ -279,6 +279,12 @@ class Trainer:
         self.state = self.state._replace(
             ema=ema_update(self.state.ema, self.state.params, self.ema_decay)
         )
+        # Param-finiteness sentinel (r3 incident, PERF.md): printed losses
+        # stayed finite for a whole run while every Adam-managed param was
+        # NaN — the poison only surfaced at eval. One tiny jitted reduce per
+        # epoch halts training at the poisoned epoch instead, before the
+        # epoch checkpoint overwrites the last good one.
+        self._assert_params_finite()
         self.stats["loss"].append(total_loss)
         self.log(
             f"==> Epoch {self.epoch} | loss {loss_val:.4f} | "
@@ -292,6 +298,36 @@ class Trainer:
             self.writer.add_scalar(
                 "train/rays_per_sec", rays_per_sec, self.global_step
             )
+
+    def _assert_params_finite(self):
+        if not hasattr(self, "_finite_fn"):
+
+            @jax.jit
+            def _all_finite(params):
+                checks = [
+                    jnp.all(jnp.isfinite(l))
+                    for l in jax.tree.leaves(params)
+                    if jnp.issubdtype(l.dtype, jnp.floating)
+                ]
+                return jnp.all(jnp.stack(checks))
+
+            self._finite_fn = _all_finite
+        if bool(self._finite_fn(self.state.params)):
+            return
+        bad = [
+            jax.tree_util.keystr(kp)
+            for kp, l in jax.tree_util.tree_leaves_with_path(self.state.params)
+            if jnp.issubdtype(l.dtype, jnp.floating)
+            and not np.isfinite(np.asarray(l)).all()
+        ]
+        msg = (
+            f"non-finite parameters after epoch {self.epoch} "
+            f"(step {self.global_step}): {bad} — halting before the epoch "
+            "checkpoint. Finite printed losses do NOT imply finite params "
+            "(PERF.md r3 incident)."
+        )
+        self.log(f"[ERROR] {msg}")
+        raise RuntimeError(msg)
 
     # ------------------------------------------------------------------ eval
     def _eval_params(self):
@@ -606,6 +642,16 @@ class Trainer:
             self.log("[WARN] no evaluated results found, skip saving best checkpoint.")
             return
         latest = self.stats["results"][-1]
+        # Non-finite sentinel (r3 incident: a NaN-poisoned eval wrote an inf
+        # "best" — `New best result: None --> inf` in the ab3_flagship_ep14
+        # log). A non-finite result must never become the best checkpoint;
+        # the reference has no such guard either (model/runner.py:661-668).
+        if not np.isfinite(latest):
+            self.log(
+                f"[ERROR] eval result {latest} is non-finite; refusing to "
+                "save a best checkpoint from a poisoned eval."
+            )
+            return
         if self.stats["best_result"] is None or latest < self.stats["best_result"]:
             self.log(
                 f"[INFO] New best result: {self.stats['best_result']} --> {latest}"
@@ -637,10 +683,23 @@ class Trainer:
             self.epoch = int(tree.get("epoch", 0))
             self.log("[INFO] loaded model (weights only).")
             return
-        tree = self.ckpt.restore(path, self._full_state_tree())
         if model_only or which == "latest_model":
-            self.state = self.state._replace(params=tree["state"].params)
-            self.log("[INFO] loaded model.")
+            # params(+EMA)-only restore from the RAW orbax tree: no full-state
+            # template, so it works for epoch checkpoints written by ANY
+            # optimizer-state format (the pre-flat-Adam grouped layout
+            # included — ADVICE r3; the r3 parity/smoke checkpoints are in
+            # that format).
+            self._restore_model_only(path)
+            return
+        try:
+            tree = self.ckpt.restore(path, self._full_state_tree())
+        except ValueError as e:
+            self.log(f"[WARN] full-state restore failed: {e}")
+            self.log(
+                "[WARN] falling back to params+EMA-only restore; optimizer "
+                "state is RESET (resumed training re-warms Adam moments)."
+            )
+            self._restore_model_only(path)
             return
         self.state = tree["state"]
         self.epoch = int(tree["epoch"])
@@ -652,6 +711,52 @@ class Trainer:
         )
         if which == "latest":
             self._overlay_refine_checkpoint()
+
+    def _restore_model_only(self, path):
+        """Graft params (and EMA, when present) from a checkpoint's raw orbax
+        tree onto the current state, ignoring optimizer state entirely.
+
+        PyTreeCheckpointer.restore without an item template returns the
+        on-disk tree as nested dicts of numpy arrays — params is a dict tree
+        in every checkpoint format this repo has ever written, so the graft
+        is format-independent (flat-Adam vs grouped-Adam opt_state does not
+        matter; ADVICE r3 medium)."""
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ck:
+            raw = ck.restore(os.path.abspath(path))
+        st = raw.get("state", raw)
+        params = st.get("params")
+        if params is None:
+            raise ValueError(f"checkpoint {path} has no params tree")
+        want = jax.tree.structure(self.state.params)
+        got = jax.tree.structure(params)
+        if want != got:
+            raise ValueError(
+                f"checkpoint {path} params tree does not match the model "
+                f"config: {got} vs {want}"
+            )
+        ema = st.get("ema")
+        if isinstance(ema, dict) and "shadow" in ema and (
+            jax.tree.structure(ema["shadow"]) == want
+        ):
+            new_ema = EmaState(
+                shadow=ema["shadow"],
+                num_updates=jnp.int32(int(np.asarray(ema["num_updates"]))),
+            )
+        else:
+            new_ema = ema_init(params)
+        self.state = self.state._replace(params=params, ema=new_ema)
+        self.epoch = int(np.asarray(raw.get("epoch", 0)))
+        self.global_step = int(np.asarray(raw.get("global_step", 0)))
+        best = raw.get("best_result")
+        if best is not None:
+            best = float(np.asarray(best))
+            self.stats["best_result"] = None if best < 0 else best
+        self.log(
+            f"[INFO] loaded model at epoch {self.epoch}, global step "
+            f"{self.global_step} (params+EMA only)."
+        )
 
     def _overlay_refine_checkpoint(self):
         """If a refine checkpoint at-or-after the restored epoch exists, lay

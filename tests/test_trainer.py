@@ -2,6 +2,7 @@
 
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -146,7 +147,9 @@ def test_refine_drops_ema(setup, tmp_path):
 
 def test_trainer_builds_hierarchical_mesh_from_flags(setup, tmp_path):
     """--mesh dcn,ici + --num_hosts makes the Trainer train on the 2-axis
-    (hosts x per-host chips) mesh — the pod entry path (VERDICT r2 #5)."""
+    (hosts x per-host chips) mesh — the pod entry path (VERDICT r2 #5) —
+    AND the flag-driven hierarchical layout reproduces the unsharded params
+    (VERDICT r3 #8: prove the flag path, not just the parallel.mesh helper)."""
     import copy
 
     opt, ds = setup
@@ -166,3 +169,122 @@ def test_trainer_builds_hierarchical_mesh_from_flags(setup, tmp_path):
     trainer.train_one_epoch(ds, patch_size=1)
     assert trainer.global_step == len(ds)
     assert np.isfinite(trainer.stats["loss"][-1])
+
+    # same seed, same data, no mesh: identical epoch-order and step keys, so
+    # the hierarchical DP run must land on the same params
+    opt1 = copy.deepcopy(opt)
+    opt1.num_devices = 1
+    t1 = Trainer(
+        "lidar4d", opt1, field, build_loss_config(opt1),
+        workspace=str(tmp_path / "ws_nomesh"), lidar_metrics=[],
+        use_checkpoint="scratch", eval_interval=100,
+    )
+    assert t1.mesh is None
+    t1.train_one_epoch(ds, patch_size=1)
+    for a, b in zip(jax.tree.leaves(t1.state.params),
+                    jax.tree.leaves(trainer.state.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_best_checkpoint_rejects_nonfinite(setup, tmp_path):
+    """r3 incident: a NaN-poisoned eval wrote `best_result = inf`. A
+    non-finite eval result must never produce a best checkpoint."""
+    opt, ds = setup
+    ws = str(tmp_path / "ws_best")
+    field = LiDAR4DField(build_model_config(opt))
+    trainer = Trainer(
+        "lidar4d", opt, field, build_loss_config(opt), workspace=ws,
+        lidar_metrics=[], use_checkpoint="scratch", eval_interval=100,
+    )
+    for poisoned in (float("inf"), float("nan")):
+        trainer.stats["results"].append(poisoned)
+        trainer.save_checkpoint(best=True)
+        assert trainer.ckpt.best_path() is None
+        assert trainer.stats["best_result"] is None
+    trainer.stats["results"].append(1.0)
+    trainer.save_checkpoint(best=True)
+    assert trainer.ckpt.best_path() is not None
+    assert trainer.stats["best_result"] == 1.0
+
+
+def test_param_finiteness_sentinel(setup, tmp_path):
+    """r3 incident: printed losses stayed finite while every Adam-managed
+    param was NaN. The per-epoch sentinel must halt loudly on poisoned
+    params and pass on healthy ones."""
+    opt, ds = setup
+    field = LiDAR4DField(build_model_config(opt))
+    trainer = Trainer(
+        "lidar4d", opt, field, build_loss_config(opt),
+        workspace=str(tmp_path / "ws_finite"), lidar_metrics=[],
+        use_checkpoint="scratch", eval_interval=100,
+    )
+    trainer._assert_params_finite()  # healthy params pass
+
+    params = dict(trainer.state.params)
+    leaf = np.asarray(params["hash"]["static"]).copy()
+    leaf.reshape(-1)[0] = np.nan
+    params["hash"] = dict(params["hash"], static=leaf)
+    trainer.state = trainer.state._replace(params=params)
+    with pytest.raises(RuntimeError, match="non-finite parameters"):
+        trainer._assert_params_finite()
+
+
+def test_model_only_restore_from_legacy_grouped_checkpoint(setup, tmp_path):
+    """ADVICE r3 (medium): epoch checkpoints written by the pre-flat-Adam
+    grouped optimizer must still be loadable for params-only use — both via
+    model_only and via the automatic fallback when the full-state template
+    mismatches (the r3 parity ep14 checkpoint is in this format)."""
+    import copy
+
+    from lidar4d_tpu.train.optimizer import make_grouped_optimizer
+
+    opt, ds = setup
+    ws = str(tmp_path / "ws_legacy")
+    field = LiDAR4DField(build_model_config(opt))
+    trainer = Trainer(
+        "lidar4d", opt, field, build_loss_config(opt), workspace=ws,
+        lidar_metrics=[], use_checkpoint="scratch", eval_interval=100,
+    )
+    trainer.train_one_epoch(ds, patch_size=1)
+    trainer.epoch = 3
+
+    # write a checkpoint whose opt_state is the LEGACY grouped layout
+    legacy_opt = make_grouped_optimizer(
+        1e-2, 100, field.param_group_labels(trainer.state.params)
+    )
+    legacy_state = trainer.state._replace(
+        opt_state=legacy_opt.init(trainer.state.params)
+    )
+    trainer.ckpt.save_epoch(
+        {
+            "state": legacy_state,
+            "epoch": trainer.epoch,
+            "global_step": trainer.global_step,
+            "best_result": -1.0,
+        },
+        trainer.epoch,
+    )
+
+    # full-state restore falls back to params+EMA-only instead of crashing
+    t2 = Trainer(
+        "lidar4d", opt, field, build_loss_config(opt), workspace=ws,
+        lidar_metrics=[], use_checkpoint="latest", eval_interval=100,
+    )
+    assert t2.epoch == 3
+    assert t2.global_step == trainer.global_step
+    for a, b in zip(jax.tree.leaves(trainer.state.params),
+                    jax.tree.leaves(t2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # EMA restored too (eval-path weights)
+    assert int(t2.state.ema.num_updates) == int(trainer.state.ema.num_updates)
+
+    # explicit model_only path takes the raw-graft route directly
+    t3 = Trainer(
+        "lidar4d", opt, field, build_loss_config(opt), workspace=ws,
+        lidar_metrics=[], use_checkpoint="scratch", eval_interval=100,
+    )
+    t3.load_checkpoint("latest", model_only=True)
+    for a, b in zip(jax.tree.leaves(trainer.state.params),
+                    jax.tree.leaves(t3.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
