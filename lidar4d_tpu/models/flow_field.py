@@ -17,12 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lidar4d_tpu.ops.hash_enc import (
-    HashEncoderSpec,
-    init_hash_table,
-    lagrange_time_interp,
-)
-from lidar4d_tpu.ops.hash_onehot import hash_encode_auto
+from lidar4d_tpu.ops.hash_enc import HashEncoderSpec, init_hash_table
+from lidar4d_tpu.ops.hash_onehot import hash_encode_interp_auto
 from lidar4d_tpu.ops.mlp import apply_mlp, init_mlp
 
 
@@ -93,11 +89,12 @@ class FlowField:
             t_col = jnp.full((x.shape[0], 1), t, x.dtype)
             h.append(freq_embed(jnp.concatenate([x, t_col], -1), self.num_freqs))
         if self.use_grid:
-            g = hash_encode_auto(
-                self.grid_spec, params["grid"], jnp.clip(x, 0.0, 1.0)
-            )
-            g = lagrange_time_interp(
-                g, t, self.n_levels, self.n_features_per_level, self.num_basis
+            # interpT folded into the table on the one-hot path (the basis
+            # contraction commutes with the encode — ops/hash_onehot.py);
+            # gather/CPU paths keep encode-then-interpT bit-identically
+            g = hash_encode_interp_auto(
+                self.grid_spec, params["grid"], jnp.clip(x, 0.0, 1.0), t,
+                self.num_basis,
             )
             h.append(g)
         h = jnp.concatenate(h, axis=-1)

@@ -23,13 +23,14 @@ import jax.numpy as jnp
 from lidar4d_tpu.ops.hash_enc import (
     HashEncoderSpec,
     init_hash_table,
-    lagrange_time_interp,
+    lagrange_weights,
 )
 from lidar4d_tpu.ops import hash_onehot
 from lidar4d_tpu.ops.hash_onehot import (
+    folded_eligible,
     hash_encode_auto,
-    hash_encode_fact_multi,
-    onehot_eligible,
+    hash_encode_fact_multi_folded,
+    hash_encode_interp_auto,
 )
 
 _PLANE_SELS = ((0, 1), (0, 2), (1, 2))  # xy, xz, yz
@@ -121,11 +122,8 @@ class HashGrid4D:
             t1 = jax.lax.dynamic_index_in_dim(stack, i1, keepdims=False)
             t2 = jax.lax.dynamic_index_in_dim(stack, i2, keepdims=False)
             tab = (1.0 - w2) * t1 + w2 * t2
-            g = hash_encode_auto(spec, tab, xy)
             feats.append(
-                lagrange_time_interp(
-                    g, t, self.n_levels, self.n_features_per_level, self.num_basis
-                )
+                hash_encode_interp_auto(spec, tab, xy, t, self.num_basis)
             )
         return jnp.concatenate(feats, axis=-1)
 
@@ -154,9 +152,7 @@ class HashGrid4D:
                 hash_onehot.ONEHOT_VARIANT == "fact"
                 and jax.default_backend() != "cpu"
                 and all(
-                    onehot_eligible(
-                        self.dynamic_spec(p), hash_onehot.FACT_MAX_ROWS
-                    )
+                    folded_eligible(self.dynamic_spec(p), self.num_basis)
                     for p in range(3)
                 )
             )
@@ -173,6 +169,7 @@ class HashGrid4D:
         w2 = (idx - i1.astype(jnp.float32))[:, None, None]
 
         x = jnp.clip(xs, 0.0, 1.0)
+        ws = lagrange_weights(ts, self.num_basis)            # [V, B]
         feats = []
         for p, sel in enumerate(_PLANE_SELS):
             spec = self.dynamic_spec(p)
@@ -182,21 +179,14 @@ class HashGrid4D:
             # per-variant table-space time blend (see forward_dynamic)
             tabs = (1.0 - w2) * jnp.take(stack, i1, axis=0) \
                 + w2 * jnp.take(stack, i2, axis=0)          # [V, rows, F]
-            g = hash_encode_fact_multi(
-                spec, tabs[0], tabs[1:], x[:, :, sel]
-            )                                               # [V, N, L*F]
-            g = jnp.concatenate(
+            # interpT folded into the blended tables: the pallas sweep runs
+            # at F' = F/num_basis features (ops/hash_onehot.py rationale)
+            g = hash_encode_fact_multi_folded(
+                spec, tabs[0], tabs[1:], x[:, :, sel], ws
+            )                                               # [V, N, L*F/B]
+            feats.append(jnp.concatenate(
                 [g[:1], jax.lax.stop_gradient(g[1:])], axis=0
-            )
-            feats.append(
-                jnp.stack([
-                    lagrange_time_interp(
-                        g[vi], ts[vi], self.n_levels,
-                        self.n_features_per_level, self.num_basis,
-                    )
-                    for vi in range(v)
-                ])
-            )
+            ))
         return jnp.concatenate(feats, axis=-1)
 
     def __call__(self, params, x, t):

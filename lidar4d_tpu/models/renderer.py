@@ -358,3 +358,48 @@ def render_staged(field, params, rays_o, rays_d, t, num_steps=768, chunk=4096,
     depth = depth.reshape(-1)[:n]
     image = image.reshape(-1, image.shape[-1])[:n]
     return {"depth_lidar": depth, "image_lidar": image}
+
+
+@partial(jax.jit, static_argnames=("field", "num_steps", "num_coarse",
+                                   "num_fine"))
+def _render_chunk(field, params, rays_o, rays_d, t, num_steps, num_coarse,
+                  num_fine):
+    r = render_rays(
+        field, params, rays_o, rays_d, t, num_steps=num_steps, perturb=False,
+        with_aux=False, num_coarse=num_coarse, num_fine=num_fine,
+    )
+    return r["depth_lidar"], r["image_lidar"]
+
+
+def render_staged_host(field, params, rays_o, rays_d, t, num_steps=768,
+                       chunk=4096, num_coarse=0, num_fine=0):
+    """Host-side chunk loop twin of render_staged, for gather-path fields.
+
+    The r3 parity-architecture eval crashed the TPU worker
+    (`UNAVAILABLE: TPU worker process crashed`) at its first full frame; the
+    r4 staged probe (scripts/probe_parity_eval.py) isolated the fault to the
+    `lax.map` COMPOSITE over 4096-ray x 768-sample gather-path chunks — a
+    single chunk renders fine (8.7 s warm) and twice in a row, so the
+    host loop below reuses that proven single-chunk executable instead of
+    the mapped graph. Inference dispatch overhead (~ms) is irrelevant next
+    to the 8.7 s gather-bound chunk execution; one-hot (flagship) fields
+    keep the fully-compiled render_staged.
+    """
+    n = rays_o.shape[0]
+    pad = (-n) % chunk
+    ro = jnp.concatenate([rays_o, jnp.zeros((pad, 3), rays_o.dtype)], 0)
+    rd = jnp.concatenate(
+        [rays_d, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], rays_d.dtype), (pad, 1))], 0
+    )
+    n_chunks = ro.shape[0] // chunk
+    depths, images = [], []
+    for i in range(n_chunks):
+        d, im = _render_chunk(
+            field, params, ro[i * chunk:(i + 1) * chunk],
+            rd[i * chunk:(i + 1) * chunk], t, num_steps, num_coarse, num_fine,
+        )
+        depths.append(d)
+        images.append(im)
+    depth = jnp.concatenate(depths)[:n]
+    image = jnp.concatenate(images, axis=0)[:n]
+    return {"depth_lidar": depth, "image_lidar": image}

@@ -220,6 +220,24 @@ def _lagrange_coeff_matrix(num_basis: int):
     return nodes
 
 
+def lagrange_weights(t, num_basis=4):
+    """Lagrange basis weights at time(s) t over nodes T = [0, 1/(B-1), .., 1].
+
+    t: scalar or [...]-shaped; returns [..., num_basis] float32.
+    """
+    nodes = _lagrange_coeff_matrix(num_basis)
+    t = jnp.asarray(t, jnp.float32)
+    weights = []
+    for j in range(num_basis):
+        w = jnp.ones_like(t)
+        for m in range(num_basis):
+            if m == j:
+                continue
+            w = w * (t - nodes[m]) / (nodes[j] - nodes[m])
+        weights.append(w)
+    return jnp.stack(weights, axis=-1)
+
+
 def lagrange_time_interp(feats, t, n_levels, n_features, num_basis=4):
     """Temporal Lagrange interpolation over feature chunks ("interpT").
 
@@ -230,20 +248,9 @@ def lagrange_time_interp(feats, t, n_levels, n_features, num_basis=4):
 
     Returns [N, L * F / num_basis].
     """
-    nodes = _lagrange_coeff_matrix(num_basis)
     n = feats.shape[0]
     f_chunk = n_features // num_basis
     x = feats.reshape(n, n_levels, num_basis, f_chunk)
-
-    t = jnp.asarray(t, jnp.float32)
-    weights = []
-    for j in range(num_basis):
-        w = jnp.array(1.0, jnp.float32)
-        for m in range(num_basis):
-            if m == j:
-                continue
-            w = w * (t - nodes[m]) / (nodes[j] - nodes[m])
-        weights.append(w)
-    w = jnp.stack(weights)  # [B]
+    w = lagrange_weights(t, num_basis)  # [B]
     out = jnp.einsum("nlbf,b->nlf", x, w)
     return out.reshape(n, n_levels * f_chunk)

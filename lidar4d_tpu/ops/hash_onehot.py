@@ -617,6 +617,290 @@ def _vjp_bwd_multi(spec, res, cot):
 hash_encode_fact_multi.defvjp(_vjp_fwd_multi, _vjp_bwd_multi)
 
 
+# ------------------------------------------------- interpT-folded encode
+#
+# The Lagrange "interpT" feature interpolation (ops.hash_enc.
+# lagrange_time_interp, reference hash_field.py:65-74) acts LINEARLY on the
+# encoded features, and the encode is linear in the table — so the basis
+# contraction commutes into the table:
+#
+#   interpT(Encode(T, x), t)  ==  Encode(fold(T, w(t)), x),
+#   fold(T, w)[r, f'] = sum_b w_b * T[r, b*F' + f']      (F' = F / num_basis)
+#
+# The folded sweep runs at F' = F/B features: with the flagship B = 4, the
+# hi-group mask+reduce (the kernel's second-largest VPU cost, [HI*F, BN] per
+# corner) and the MXU matmul shrink 4x, and the post-encode [N, L*F] -> XLA
+# einsum disappears. The lane-wide lo one-hot builds are unchanged
+# (R-independent). Exactness: the fold is a reassociation of the same linear
+# contraction — within f32 rounding of the unfolded form, and the kernel's
+# bf16 matmul tolerance (~1e-2) dominates either way.
+#
+# F' < 8 breaks the [F, BN] output-block sublane rule the plain kernels rely
+# on, so the folded forward uses a GROUPED kernel: grid (V, NB), one block
+# carries ALL L levels, out rows = pad8(L*F') (a static zero pad). The
+# backward needs no new kernel at all: d interpT∘Encode / dT given cot'
+# [N, L*F'] equals the FULL-F backward with the expanded cotangent
+# cot[n, (l, b*F'+f')] = w_b * cot'[n, (l, f')] — one XLA outer product
+# feeding _bwd_call_fact.
+
+
+def _fwd_kernel_fact_grouped(idx_ref, wgt_ref, tab_ref, out_ref, *,
+                             nc, n_levels, f_out):
+    """Grid (V, NB). Blocks: idx/wgt [1, L*nc, BN], tab [1, L*HF', 128],
+    out [RP, BN] with RP = pad8(L*f_out); rows beyond L*f_out are zero."""
+    hfp = tab_ref.shape[1] // n_levels  # HI * f_out
+    rp, bn = out_ref.shape
+    hi_n = hfp // f_out
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_LANE, bn), 0)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (hfp, bn), 0) // f_out
+
+    accs = []
+    for li in range(n_levels):
+        tab = tab_ref[0, li * hfp:(li + 1) * hfp, :].astype(jnp.bfloat16)
+        ohs, his = [], []
+        for ci in range(nc):
+            idx = idx_ref[0, li * nc + ci, :]
+            wgt = wgt_ref[0, li * nc + ci, :]
+            lo = idx & (_LANE - 1)
+            his.append(idx >> _LOG2_LANE)
+            ohs.append(jnp.where(
+                iota_lo == lo[None, :], wgt[None, :], 0.0
+            ).astype(jnp.bfloat16))
+        step1 = jax.lax.dot_general(
+            tab, jnp.concatenate(ohs, axis=1), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [HF', nc*BN]
+        acc = jnp.zeros((f_out, bn), jnp.float32)
+        for ci in range(nc):
+            s = step1[:, ci * bn:(ci + 1) * bn]
+            masked = jnp.where(iota_h == his[ci][None, :], s, 0.0)
+            acc = acc + masked.reshape(hi_n, f_out, bn).sum(axis=0)
+        accs.append(acc)
+    if rp > n_levels * f_out:
+        accs.append(jnp.zeros((rp - n_levels * f_out, bn), jnp.float32))
+    out_ref[:] = jnp.concatenate(accs, axis=0)
+
+
+def _fwd_call_fact_grouped(spec_f, packed, idx, wgt, n):
+    """packed [V, L*HF', 128], idx/wgt [V, L*nc, N] -> [V, N, L*F']."""
+    v = packed.shape[0]
+    l = spec_f.n_levels
+    f = spec_f.n_features
+    hfp = (_r_max(spec_f) // _LANE) * f
+    rp = ((l * f + 7) // 8) * 8
+    bn = _block_n_fact(hfp)
+    lnc = idx.shape[1]
+    nc = lnc // l
+    pad = (-n) % bn
+    if pad:
+        idx = jnp.concatenate([idx, jnp.zeros((v, lnc, pad), idx.dtype)], -1)
+        wgt = jnp.concatenate([wgt, jnp.zeros((v, lnc, pad), wgt.dtype)], -1)
+    nb = idx.shape[2] // bn
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_fact_grouped, nc=nc, n_levels=l,
+                          f_out=f),
+        grid=(v, nb),
+        in_specs=[
+            pl.BlockSpec((1, lnc, bn), lambda vi, b: (vi, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lnc, bn), lambda vi, b: (vi, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l * hfp, _LANE), lambda vi, b: (vi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rp, bn), lambda vi, b: (vi, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((v * rp, nb * bn), jnp.float32),
+        interpret=_interpret(),
+    )(idx, wgt, packed)
+    out = out.reshape(v, rp, nb * bn)[:, : l * f, :n]
+    return out.transpose(0, 2, 1)
+
+
+def _fold_table(table, w, fp):
+    """[rows, F] x Lagrange weights [B] -> [rows, F'] (F' = F/B)."""
+    b = w.shape[-1]
+    return jnp.einsum(
+        "rbf,b->rf", table.reshape(table.shape[0], b, fp), w,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _expand_cot(cot, w, n_levels, fp):
+    """cot' [N, L*F'] -> full-F cotangent [N, L*F]: cot[b*F'+f'] = w_b*cot'."""
+    n = cot.shape[0]
+    b = w.shape[-1]
+    full = cot.reshape(n, n_levels, 1, fp) * w[None, None, :, None]
+    return full.reshape(n, n_levels * b * fp)
+
+
+def _poison_like(ref, cot):
+    poison = jnp.where(jnp.any(cot != 0.0), jnp.nan, 0.0).astype(ref.dtype)
+    return poison * jnp.ones_like(ref)
+
+
+def _folded_spec(spec, num_basis):
+    import dataclasses
+
+    return dataclasses.replace(spec, n_features=spec.n_features // num_basis)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def hash_encode_folded(spec: HashEncoderSpec, table, x, w):
+    """interpT(hash_encode(spec, table, x), t) with the Lagrange contraction
+    folded into the table. w: [B] = lagrange_weights(t, B). Returns [N, L*F/B].
+    """
+    b = w.shape[0]
+    fp = spec.n_features // b
+    spec_f = _folded_spec(spec, b)
+    tab_f = _fold_table(table, w, fp)
+    idx, wgt = _prep(spec_f, x)
+    lnc = spec_f.n_levels * idx.shape[1]
+    out = _fwd_call_fact_grouped(
+        spec_f,
+        _pack_table_fact(spec_f, tab_f).reshape(1, -1, _LANE),
+        idx.reshape(1, lnc, -1),
+        wgt.reshape(1, lnc, -1),
+        x.shape[0],
+    )
+    return out[0]
+
+
+def _vjp_fwd_folded(spec, table, x, w):
+    return hash_encode_folded(spec, table, x, w), (x, w)
+
+
+def _vjp_bwd_folded(spec, res, cot):
+    x, w = res
+    b = w.shape[0]
+    fp = spec.n_features // b
+    n = x.shape[0]
+    cot_full = _expand_cot(cot, w, spec.n_levels, fp)
+    idx, wgt = _prep(spec, x)
+    hf = (_r_max(spec) // _LANE) * spec.n_features
+    bn = _block_n_fact(hf)
+    pad = (-n) % bn
+    if pad:
+        l = spec.n_levels
+        nc = idx.shape[1]
+        idx = jnp.concatenate([idx, jnp.zeros((l, nc, pad), idx.dtype)], -1)
+        wgt = jnp.concatenate([wgt, jnp.zeros((l, nc, pad), wgt.dtype)], -1)
+        cot_full = jnp.concatenate(
+            [cot_full, jnp.zeros((pad, cot_full.shape[1]), cot_full.dtype)], 0
+        )
+    dpacked = _bwd_call_fact(spec, idx, wgt, cot_full.T, n + pad)
+    # w (a function of t) is never differentiated in this framework — NaN-
+    # poison like the coordinates so a future t-grad caller fails loudly.
+    return (_unpack_grad_fact(spec, dpacked), _poison_coord_grad(x, cot),
+            _poison_like(w, cot))
+
+
+hash_encode_folded.defvjp(_vjp_fwd_folded, _vjp_bwd_folded)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def hash_encode_fact_multi_folded(spec: HashEncoderSpec, table, tables_ng,
+                                  xs, ws):
+    """Fused V-variant interpT-folded encode (the folded twin of
+    hash_encode_fact_multi). ws: [V, B] per-variant Lagrange weights.
+    Returns [V, N, L*F/B]; only variant 0's table is differentiable.
+    """
+    v, n = xs.shape[0], xs.shape[1]
+    b = ws.shape[1]
+    fp = spec.n_features // b
+    spec_f = _folded_spec(spec, b)
+    packs, idxs, wgts = [], [], []
+    for vi in range(v):
+        tab = table if vi == 0 else tables_ng[vi - 1]
+        packs.append(
+            _pack_table_fact(spec_f, _fold_table(tab, ws[vi], fp))
+            .reshape(-1, _LANE)
+        )
+        i, wg = _prep(spec_f, xs[vi])
+        idxs.append(i.reshape(-1, n))
+        wgts.append(wg.reshape(-1, n))
+    return _fwd_call_fact_grouped(
+        spec_f, jnp.stack(packs), jnp.stack(idxs), jnp.stack(wgts), n
+    )
+
+
+def _vjp_fwd_multi_folded(spec, table, tables_ng, xs, ws):
+    return hash_encode_fact_multi_folded(spec, table, tables_ng, xs, ws), (
+        xs, ws, tables_ng.shape)
+
+
+def _vjp_bwd_multi_folded(spec, res, cot):
+    xs, ws, ng_shape = res
+    b = ws.shape[1]
+    fp = spec.n_features // b
+    x0 = xs[0]
+    n = x0.shape[0]
+    cot_full = _expand_cot(cot[0], ws[0], spec.n_levels, fp)
+    idx, wgt = _prep(spec, x0)
+    hf = (_r_max(spec) // _LANE) * spec.n_features
+    bn = _block_n_fact(hf)
+    pad = (-n) % bn
+    if pad:
+        l = spec.n_levels
+        nc = idx.shape[1]
+        idx = jnp.concatenate([idx, jnp.zeros((l, nc, pad), idx.dtype)], -1)
+        wgt = jnp.concatenate([wgt, jnp.zeros((l, nc, pad), wgt.dtype)], -1)
+        cot_full = jnp.concatenate(
+            [cot_full, jnp.zeros((pad, cot_full.shape[1]), cot_full.dtype)], 0
+        )
+    dpacked = _bwd_call_fact(spec, idx, wgt, cot_full.T, n + pad)
+    # per-variant poison gates (see _vjp_bwd_multi)
+    any_v = jnp.any(cot != 0.0, axis=(1, 2))  # [V]
+    poison = jnp.where(any_v, jnp.nan, 0.0)
+    return (
+        _unpack_grad_fact(spec, dpacked),
+        jnp.zeros(ng_shape, jnp.float32),
+        (poison[:, None, None] * jnp.ones_like(xs)).astype(xs.dtype),
+        (poison[:, None] * jnp.ones_like(ws)).astype(ws.dtype),
+    )
+
+
+hash_encode_fact_multi_folded.defvjp(_vjp_fwd_multi_folded,
+                                     _vjp_bwd_multi_folded)
+
+
+def folded_eligible(spec: HashEncoderSpec, num_basis, fact_max_rows=None):
+    """The grouped folded kernel takes any F' (output rows are zero-padded
+    to 8), but F must split evenly into basis chunks and the whole level
+    stack must fit one VMEM block (all levels ride one grid step)."""
+    if fact_max_rows is None:
+        fact_max_rows = FACT_MAX_ROWS
+    if spec.n_features % num_basis:
+        return False
+    if max(spec.table_sizes) > fact_max_rows:
+        return False
+    # rough VMEM bound for the single-block level stack: nc live one-hot
+    # tiles (bf16) + step1 (f32) per level, all levels' SSA temps live
+    fp = spec.n_features // num_basis
+    hfp = (_r_max(spec) // _LANE) * fp
+    bn = _block_n_fact(hfp)
+    nc = 1 << spec.n_dims
+    per_level = nc * _LANE * bn * 2 + hfp * nc * bn * 4
+    return spec.n_levels * per_level <= 8 * 1024 * 1024
+
+
+def hash_encode_interp_auto(spec: HashEncoderSpec, table, x, t, num_basis,
+                            coord_grad=False):
+    """interpT(encode(x), t) with auto dispatch: the folded one-hot sweep on
+    TPU for eligible tables, else encode-then-interpT (bit-identical to the
+    pre-fold formulation) on the gather/classic paths."""
+    from lidar4d_tpu.ops.hash_enc import lagrange_time_interp, lagrange_weights
+
+    if (not coord_grad and not _interpret() and ONEHOT_VARIANT == "fact"
+            and folded_eligible(spec, num_basis)):
+        return hash_encode_folded(spec, table, x,
+                                  lagrange_weights(t, num_basis))
+    g = hash_encode_auto(spec, table, x, coord_grad=coord_grad)
+    return lagrange_time_interp(g, t, spec.n_levels, spec.n_features,
+                                num_basis)
+
+
 # Which one-hot kernel hash_encode_auto dispatches to. Measured v5e, 196k
 # points, flagship specs (fwd ms, classic -> fact): static3d R=2048
 # 25.5 -> 3.4, dyn2d R=2048 33.5 -> 3.8, flow3d 17.4 -> 2.8; at R=8192 the

@@ -99,18 +99,38 @@ class Simulator:
         devices (params must be replicated on it); frame renders then scale
         linearly over chips, the path to interactive novel-view rates.
         """
+        # gather-path fields render through the host chunk loop: the lax.map
+        # composite over gather-path chunks faults the TPU worker (r4
+        # diagnosis, models/renderer.py::render_staged_host)
+        from lidar4d_tpu.ops.hash_onehot import FACT_MAX_ROWS, onehot_eligible
+
+        enc = self.field.hash_encoder
+        specs = [enc.static_spec] + [enc.dynamic_spec(p) for p in range(3)]
+        onehot = all(onehot_eligible(s, FACT_MAX_ROWS) for s in specs)
+
         H, W = self.H_lidar, self.W_lidar
         frames = []
         pred_lidar = None
         for i in range(rays_o.shape[0]):
-            out = render_staged(
-                self.field, self.params,
-                jnp.asarray(rays_o[i]), jnp.asarray(rays_d[i]),
-                jnp.float32(times[i]), num_steps=self.opt.num_steps,
-                num_coarse=getattr(self.opt, "num_coarse", 0),
-                num_fine=getattr(self.opt, "num_fine", 0),
-                mesh=mesh,
-            )
+            if onehot:
+                out = render_staged(
+                    self.field, self.params,
+                    jnp.asarray(rays_o[i]), jnp.asarray(rays_d[i]),
+                    jnp.float32(times[i]), num_steps=self.opt.num_steps,
+                    num_coarse=getattr(self.opt, "num_coarse", 0),
+                    num_fine=getattr(self.opt, "num_fine", 0),
+                    mesh=mesh,
+                )
+            else:
+                from lidar4d_tpu.models.renderer import render_staged_host
+
+                out = render_staged_host(
+                    self.field, self.params,
+                    jnp.asarray(rays_o[i]), jnp.asarray(rays_d[i]),
+                    jnp.float32(times[i]), num_steps=self.opt.num_steps,
+                    num_coarse=getattr(self.opt, "num_coarse", 0),
+                    num_fine=getattr(self.opt, "num_fine", 0),
+                )
             raydrop = np.asarray(out["image_lidar"][:, 0]).reshape(H, W)
             intensity = np.asarray(out["image_lidar"][:, 1]).reshape(H, W)
             depth = np.asarray(out["depth_lidar"]).reshape(H, W)

@@ -357,16 +357,29 @@ class Trainer:
         # amortize per-chunk overhead on the tunneled backend. Keyed on the
         # field's actual one-hot eligibility (NOT remat_density, which a
         # gather-path config could legally disable): gather-path configs keep
-        # the memory-bounding 4096 (renderer.py).
-        chunk = 16384 if self._field_is_onehot() else 4096
-        out = render_staged(
-            self.field, params, rays["rays_o"], rays["rays_d"],
-            jnp.float32(frame["time"]), num_steps=self.opt.num_steps,
-            chunk=chunk,
-            num_coarse=getattr(self.opt, "num_coarse", 0),
-            num_fine=getattr(self.opt, "num_fine", 0),
-            mesh=self.mesh,
-        )
+        # the memory-bounding 4096 (renderer.py) AND render through the
+        # host-side chunk loop — the lax.map composite over gather-path
+        # chunks faults the TPU worker (r3 parity eval crash, diagnosed by
+        # scripts/probe_parity_eval.py; see render_staged_host).
+        if self._field_is_onehot():
+            out = render_staged(
+                self.field, params, rays["rays_o"], rays["rays_d"],
+                jnp.float32(frame["time"]), num_steps=self.opt.num_steps,
+                chunk=16384,
+                num_coarse=getattr(self.opt, "num_coarse", 0),
+                num_fine=getattr(self.opt, "num_fine", 0),
+                mesh=self.mesh,
+            )
+        else:
+            from lidar4d_tpu.models.renderer import render_staged_host
+
+            out = render_staged_host(
+                self.field, params, rays["rays_o"], rays["rays_d"],
+                jnp.float32(frame["time"]), num_steps=self.opt.num_steps,
+                chunk=4096,
+                num_coarse=getattr(self.opt, "num_coarse", 0),
+                num_fine=getattr(self.opt, "num_fine", 0),
+            )
         pred_raydrop = np.asarray(out["image_lidar"][:, 0]).reshape(H, W)
         pred_intensity = np.asarray(out["image_lidar"][:, 1]).reshape(H, W)
         pred_depth = np.asarray(out["depth_lidar"]).reshape(H, W)

@@ -391,3 +391,33 @@ def test_merge_sorted_fallback_matches_onehot(monkeypatch):
     np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_render_staged_host_matches_staged(tiny_field):
+    """The host chunk-loop renderer (gather-path eval/sim after the r3
+    lax.map TPU-worker fault, see render_staged_host) must reproduce the
+    compiled render_staged composite exactly — same chunking, same padding,
+    same per-chunk graph."""
+    from lidar4d_tpu.models.renderer import render_staged_host
+
+    field, params = tiny_field
+    key = jax.random.PRNGKey(3)
+    ro = jax.random.uniform(key, (50, 3), minval=-0.2, maxval=0.2)
+    rd = jax.random.normal(jax.random.PRNGKey(4), (50, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    t = jnp.float32(0.25)
+
+    a = render_staged(field, params, ro, rd, t, num_steps=16, chunk=16)
+    b = render_staged_host(field, params, ro, rd, t, num_steps=16, chunk=16)
+    np.testing.assert_allclose(np.asarray(a["depth_lidar"]),
+                               np.asarray(b["depth_lidar"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a["image_lidar"]),
+                               np.asarray(b["image_lidar"]), rtol=1e-6)
+
+    # hierarchical sampling path too (uses sample_pdf + merge per chunk)
+    a = render_staged(field, params, ro, rd, t, chunk=16, num_coarse=8,
+                      num_fine=8)
+    b = render_staged_host(field, params, ro, rd, t, chunk=16, num_coarse=8,
+                           num_fine=8)
+    np.testing.assert_allclose(np.asarray(a["depth_lidar"]),
+                               np.asarray(b["depth_lidar"]), rtol=1e-6)

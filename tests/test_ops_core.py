@@ -530,3 +530,129 @@ def test_hash_encode_fact_multi_matches_single():
         )
     )(jnp.zeros((2,)))
     assert np.all(np.isnan(np.asarray(g_bad)))
+
+
+def test_hash_encode_folded_matches_interp_of_gather():
+    """interpT-folded one-hot encode == lagrange_time_interp(gather encode),
+    values + table gradient (the fold is a reassociation of the same linear
+    contraction; bf16 kernel tolerance). Covers 2D (dyn planes) and 3D
+    (flow grid) specs, including F' = 1."""
+    from lidar4d_tpu.ops.hash_enc import lagrange_time_interp, lagrange_weights
+    from lidar4d_tpu.ops.hash_onehot import hash_encode_folded
+
+    for spec, nb in (
+        (HashEncoderSpec(n_dims=3, n_levels=4, n_features=8,
+                         log2_hashmap_size=10, base_resolution=8,
+                         max_resolution=64), 4),
+        (HashEncoderSpec(n_dims=2, n_levels=3, n_features=4,
+                         log2_hashmap_size=9, base_resolution=16,
+                         max_resolution=128), 4),
+    ):
+        table = init_hash_table(jax.random.PRNGKey(0), spec)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (300, spec.n_dims))
+        t = jnp.float32(0.37)
+        w = lagrange_weights(t, nb)
+
+        ref = lagrange_time_interp(
+            hash_encode(spec, table, x), t, spec.n_levels, spec.n_features, nb
+        )
+        out = hash_encode_folded(spec, table, x, w)
+        assert out.shape == ref.shape
+        scale = max(float(jnp.abs(ref).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(out) / scale,
+                                   np.asarray(ref) / scale,
+                                   rtol=2e-2, atol=2e-2)
+
+        cw = jnp.sin(jnp.arange(ref.size).reshape(ref.shape) * 0.37)
+        g_f = jax.grad(
+            lambda tb: jnp.sum(hash_encode_folded(spec, tb, x, w) * cw)
+        )(table)
+        g_ref = jax.grad(
+            lambda tb: jnp.sum(
+                lagrange_time_interp(
+                    hash_encode(spec, tb, x), t, spec.n_levels,
+                    spec.n_features, nb,
+                ) * cw
+            )
+        )(table)
+        gscale = max(float(jnp.abs(g_ref).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(g_f) / gscale,
+                                   np.asarray(g_ref) / gscale,
+                                   rtol=2e-2, atol=2e-2)
+
+
+def test_hash_encode_folded_poisons_coord_and_weight_grads():
+    """The folded kernel must NaN-poison both the coordinate AND the
+    Lagrange-weight (time) cotangents — neither is computed, and t is never
+    legitimately differentiated in this framework."""
+    from lidar4d_tpu.ops.hash_enc import lagrange_weights
+    from lidar4d_tpu.ops.hash_onehot import hash_encode_folded
+
+    spec = HashEncoderSpec(n_dims=2, n_levels=2, n_features=4,
+                           log2_hashmap_size=9, base_resolution=8,
+                           max_resolution=16)
+    table = init_hash_table(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 2))
+
+    g_x = jax.grad(
+        lambda s: jnp.sum(hash_encode_folded(
+            spec, table, x + s, lagrange_weights(jnp.float32(0.4), 4)))
+    )(jnp.zeros((2,)))
+    assert np.all(np.isnan(np.asarray(g_x)))
+
+    g_t = jax.grad(
+        lambda t: jnp.sum(hash_encode_folded(
+            spec, table, x, lagrange_weights(t, 4)))
+    )(jnp.float32(0.4))
+    assert np.isnan(float(g_t))
+
+    g_tab = jax.grad(
+        lambda tb: jnp.sum(hash_encode_folded(
+            spec, tb, x, lagrange_weights(jnp.float32(0.4), 4)))
+    )(table)
+    assert np.all(np.isfinite(np.asarray(g_tab)))
+
+
+def test_hash_encode_fact_multi_folded_matches_single():
+    """Fused V-variant folded encode == per-variant hash_encode_folded;
+    variant-0 table grad only, neighbor tables exactly zero grad."""
+    from lidar4d_tpu.ops.hash_enc import lagrange_weights
+    from lidar4d_tpu.ops.hash_onehot import (
+        hash_encode_fact_multi_folded,
+        hash_encode_folded,
+    )
+
+    spec = HashEncoderSpec(
+        n_dims=2, n_levels=3, n_features=4, log2_hashmap_size=9,
+        base_resolution=16, max_resolution=128,
+    )
+    k = jax.random.split(jax.random.PRNGKey(0), 4)
+    tab0 = init_hash_table(k[0], spec)
+    tabs_ng = jnp.stack([init_hash_table(k[1], spec),
+                         init_hash_table(k[2], spec)])
+    xs = jax.random.uniform(k[3], (3, 300, 2))
+    ws = lagrange_weights(jnp.asarray([0.5, 0.52, 0.48]), 4)  # [3, 4]
+
+    out = hash_encode_fact_multi_folded(spec, tab0, tabs_ng, xs, ws)
+    for v in range(3):
+        tab = tab0 if v == 0 else tabs_ng[v - 1]
+        want = hash_encode_folded(spec, tab, xs[v], ws[v])
+        np.testing.assert_allclose(np.asarray(out[v]), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)
+
+    cw = jnp.sin(jnp.arange(out[0].size).reshape(out[0].shape) * 0.37)
+
+    def loss_multi(t, tng):
+        o = hash_encode_fact_multi_folded(spec, t, tng, xs, ws)
+        return jnp.sum(o[0] * cw) + jnp.sum(jax.lax.stop_gradient(o[1:]))
+
+    g0, gng = jax.grad(loss_multi, argnums=(0, 1))(tab0, tabs_ng)
+    g_ref = jax.grad(
+        lambda t: jnp.sum(hash_encode_folded(spec, t, xs[0], ws[0]) * cw)
+    )(tab0)
+    gscale = max(float(jnp.abs(g_ref).max()), 1e-6)
+    np.testing.assert_allclose(np.asarray(g0) / gscale,
+                               np.asarray(g_ref) / gscale,
+                               rtol=2e-2, atol=2e-2)
+    assert float(jnp.abs(gng).max()) == 0.0
+    assert np.all(np.isfinite(np.asarray(g0)))
