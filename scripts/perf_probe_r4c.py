@@ -196,11 +196,13 @@ def main():
     want = fs(table, xs)
     timeit("shipped grouped folded fwd (LO=128, i32)", fs, table, xs)
 
+    # NB round-4 probe result: Mosaic PACKS pre-cast bf16 compares into
+    # 8x128x2 vregs but v5e rejects packed bf16 cmpf ("Target does not
+    # support this comparison") — the bf16-compare variants are dead on this
+    # generation; only the lo-split variants below are viable.
     run_variant("A mirror LO=128 i32", spec, table, xs, ws, 7, False,
                 want=want)
-    run_variant("B LO=128 bf16cmp", spec, table, xs, ws, 7, True, want=want)
     run_variant("C LO=64 i32", spec, table, xs, ws, 6, False, want=want)
-    run_variant("D LO=64 bf16cmp", spec, table, xs, ws, 6, True, want=want)
     run_variant("E LO=32 i32", spec, table, xs, ws, 5, False, want=want)
 
     # static-hash shape (3D, F=8, no folding): LO sweep at F_out=8
@@ -222,8 +224,6 @@ def main():
     x31 = x3[None]
     want31 = want3[None]
     run_variant("S LO=128 i32 static", spec3, tab3, x31, ws1, 7, False,
-                want=want31)
-    run_variant("S LO=128 bf16 static", spec3, tab3, x31, ws1, 7, True,
                 want=want31)
     run_variant("S LO=64 i32 static (expect worse)", spec3, tab3, x31, ws1,
                 6, False, want=want31)
