@@ -389,8 +389,17 @@ def _fwd_call_fact(spec, packed, idx, wgt, n):
         wgt = jnp.concatenate([wgt, jnp.zeros((l, nc, pad), wgt.dtype)], -1)
     nb = idx.shape[2] // bn
 
+    # The gather-form kernel (see _fwd_kernel_fact_gather) also covers the
+    # plain/multi fact paths: one grid step = one level block (n_levels=1),
+    # and F = 8 needs no sublane reduce (hper = 1). Exact f32 lookups and
+    # measured faster than the one-hot build + matmul at every shipped spec.
+    use_gather = (FOLDED_FWD_VARIANT == "gather" and hf % 8 == 0
+                  and 8 % f == 0 and f <= 8)
+    kernel = (functools.partial(_fwd_kernel_fact_gather, nc=nc, n_levels=1,
+                                f_out=f)
+              if use_gather else _fwd_kernel_fact)
     out = pl.pallas_call(
-        _fwd_kernel_fact,
+        kernel,
         grid=(l, nb),
         in_specs=[
             pl.BlockSpec((1, nc, bn), lambda li, b: (li, 0, b),
@@ -638,10 +647,17 @@ hash_encode_fact_multi.defvjp(_vjp_fwd_multi, _vjp_bwd_multi)
 # F' < 8 breaks the [F, BN] output-block sublane rule the plain kernels rely
 # on, so the folded forward uses a GROUPED kernel: grid (V, NB), one block
 # carries ALL L levels, out rows = pad8(L*F') (a static zero pad). The
-# backward needs no new kernel at all: d interpT∘Encode / dT given cot'
-# [N, L*F'] equals the FULL-F backward with the expanded cotangent
-# cot[n, (l, b*F'+f')] = w_b * cot'[n, (l, f')] — one XLA outer product
-# feeding _bwd_call_fact.
+# backward needs no new kernel either — and it FOLDS too: the basis
+# contraction commutes out of the table gradient,
+#
+#   dT[r, b*F'+f'] = sum_n oh[r, n] * (w_b * cot'[n, f'])
+#                  = w_b * dT'[r, f'],   dT' = folded-spec backward on cot'
+#
+# so _bwd_call_fact runs at F' (hicot masks [HI*F', BN] instead of
+# [HI*F, BN] — 4x fewer mask elems at the flagship B = 4) and one XLA
+# outer product with w expands dT' to the full-F table gradient. The w_b
+# scale moves outside the bf16-matmul accumulation (it multiplied INTO the
+# bf16 cotangent cast before) — same quality class, not bitwise.
 
 
 def _fwd_kernel_fact_grouped(idx_ref, wgt_ref, tab_ref, out_ref, *,
@@ -681,6 +697,69 @@ def _fwd_kernel_fact_grouped(idx_ref, wgt_ref, tab_ref, out_ref, *,
     out_ref[:] = jnp.concatenate(accs, axis=0)
 
 
+def _fwd_kernel_fact_gather(idx_ref, wgt_ref, tab_ref, out_ref, *, nc,
+                            n_levels, f_out):
+    """GATHER-form grouped folded forward — the corner lookup as a
+    single-vreg `take_along_axis` register gather instead of a one-hot
+    build + MXU matmul (measured r4: dyn 1.75x, flow 2.0x the one-hot
+    form's forward, and EXACT f32 — scripts/perf_probe_r4h.py).
+
+    Per corner-level, per 128-point lane chunk, per 8-sublane table row
+    group g (rows are (h, f') pairs, h = row // f_out):
+
+        got  = take_along_axis(T[g*8:(g+1)*8, :], lo_b, axis=1)  # [8,128]
+        acc += where(hi_b == srow + g*(8//f_out), got * wgt_b, 0)
+
+    followed by one strided sublane reduce per level collapsing the h
+    rows. Blocks: idx/wgt [1, L*nc, BN]; tab [1, L*HF', 128] (fact
+    layout); out [RP, BN], RP = pad8(L*f_out)."""
+    hfp = tab_ref.shape[1] // n_levels
+    rp, bn = out_ref.shape
+    n_groups = hfp // 8
+    hper = 8 // f_out
+    srow = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 0) // f_out
+
+    accs = []
+    for li in range(n_levels):
+        chunk_accs = []
+        for s in range(bn // _LANE):
+            sl = slice(s * _LANE, (s + 1) * _LANE)
+            acc = jnp.zeros((8, _LANE), jnp.float32)
+            for ci in range(nc):
+                idx = idx_ref[0, li * nc + ci, sl]
+                wgt = wgt_ref[0, li * nc + ci, sl]
+                lo = idx & (_LANE - 1)
+                hi = idx >> _LOG2_LANE
+                lo_b = jnp.broadcast_to(lo[None, :], (8, _LANE))
+                hi_b = jnp.broadcast_to(hi[None, :], (8, _LANE))
+                wgt_b = wgt[None, :]
+                for g in range(n_groups):
+                    tg = tab_ref[0, li * hfp + g * 8: li * hfp + (g + 1) * 8,
+                                 :]
+                    got = jnp.take_along_axis(tg, lo_b, axis=1)
+                    acc = acc + jnp.where(
+                        hi_b == srow + g * hper, got * wgt_b, 0.0)
+            chunk_accs.append(acc)
+        acc8 = jnp.concatenate(chunk_accs, axis=1)       # [8, BN]
+        rows = []
+        for f in range(f_out):
+            r = acc8[f: f + 1, :]
+            for k in range(1, hper):
+                r = r + acc8[k * f_out + f: k * f_out + f + 1, :]
+            rows.append(r)
+        accs.append(jnp.concatenate(rows, axis=0))       # [f_out, BN]
+    if rp > n_levels * f_out:
+        accs.append(jnp.zeros((rp - n_levels * f_out, bn), jnp.float32))
+    out_ref[:] = jnp.concatenate(accs, axis=0)
+
+
+# Grouped folded FORWARD kernel choice: "gather" (register take_along_axis,
+# exact f32, measured 1.75-2x the one-hot form) with "onehot" kept for A/B
+# probes and as the fallback for table shapes the gather form cannot take
+# (hfp % 8 != 0, i.e. HI*F' under one sublane group).
+FOLDED_FWD_VARIANT = "gather"
+
+
 def _fwd_call_fact_grouped(spec_f, packed, idx, wgt, n):
     """packed [V, L*HF', 128], idx/wgt [V, L*nc, N] -> [V, N, L*F']."""
     v = packed.shape[0]
@@ -697,8 +776,12 @@ def _fwd_call_fact_grouped(spec_f, packed, idx, wgt, n):
         wgt = jnp.concatenate([wgt, jnp.zeros((v, lnc, pad), wgt.dtype)], -1)
     nb = idx.shape[2] // bn
 
+    use_gather = (FOLDED_FWD_VARIANT == "gather" and hfp % 8 == 0
+                  and 8 % f == 0)
+    kernel = _fwd_kernel_fact_gather if use_gather else \
+        _fwd_kernel_fact_grouped
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel_fact_grouped, nc=nc, n_levels=l,
+        functools.partial(kernel, nc=nc, n_levels=l,
                           f_out=f),
         grid=(v, nb),
         in_specs=[
@@ -725,14 +808,6 @@ def _fold_table(table, w, fp):
         "rbf,b->rf", table.reshape(table.shape[0], b, fp), w,
         precision=jax.lax.Precision.HIGHEST,
     )
-
-
-def _expand_cot(cot, w, n_levels, fp):
-    """cot' [N, L*F'] -> full-F cotangent [N, L*F]: cot[b*F'+f'] = w_b*cot'."""
-    n = cot.shape[0]
-    b = w.shape[-1]
-    full = cot.reshape(n, n_levels, 1, fp) * w[None, None, :, None]
-    return full.reshape(n, n_levels * b * fp)
 
 
 def _poison_like(ref, cot):
@@ -771,28 +846,117 @@ def _vjp_fwd_folded(spec, table, x, w):
     return hash_encode_folded(spec, table, x, w), (x, w)
 
 
-def _vjp_bwd_folded(spec, res, cot):
-    x, w = res
+def _bwd_kernel_fact_grouped(idx_ref, wgt_ref, cot_ref, dtab_ref, *, nc,
+                             n_levels, f_out):
+    """Grouped folded-spec backward: grid (NB,), one block carries ALL L
+    levels (F' < 8 breaks the plain bwd kernel's [F, BN] cot block rule;
+    here cot rows are pad8(L*F') and levels are VALUE-sliced after load).
+
+    Blocks: idx/wgt [L*nc, BN]; cot [RP, BN]; dtab [128, L*HF'] (whole
+    array — accumulated over the NB grid)."""
+    b = pl.program_id(0)
+    lhfp = dtab_ref.shape[1]
+    hfp = lhfp // n_levels
+    bn = idx_ref.shape[1]
+    hi_n = hfp // f_out
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_LANE, bn), 0)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (hfp, bn), 0) // f_out
+    cot_all = cot_ref[:]
+
+    accs = []
+    for li in range(n_levels):
+        cot_l = cot_all[li * f_out:(li + 1) * f_out, :]      # [F', BN]
+        cot_tiled = jnp.broadcast_to(
+            cot_l[None], (hi_n, f_out, bn)
+        ).reshape(hfp, bn).astype(jnp.bfloat16)
+        ohs, hicots = [], []
+        for ci in range(nc):
+            idx = idx_ref[li * nc + ci, :]
+            wgt = wgt_ref[li * nc + ci, :]
+            lo = idx & (_LANE - 1)
+            hi = idx >> _LOG2_LANE
+            ohs.append(jnp.where(
+                iota_lo == lo[None, :], wgt[None, :], 0.0
+            ).astype(jnp.bfloat16))
+            hicots.append(jnp.where(
+                iota_h == hi[None, :], cot_tiled, 0
+            ).astype(jnp.bfloat16))
+        accs.append(jax.lax.dot_general(
+            jnp.concatenate(ohs, axis=1),
+            jnp.concatenate(hicots, axis=1),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))                                                   # [128, HF']
+    acc = jnp.concatenate(accs, axis=1)                      # [128, L*HF']
+
+    @pl.when(b == 0)
+    def _():
+        dtab_ref[:] = acc
+
+    @pl.when(b > 0)
+    def _():
+        dtab_ref[:] = dtab_ref[:] + acc
+
+
+def _folded_table_bwd(spec, x, w, cot):
+    """Table gradient of hash_encode_folded: folded-spec backward on cot'
+    (F' masks — 4x fewer mask elems than the full-F form at B = 4), then
+    expand by the Lagrange weights (see the fold rationale above).
+    Returns [rows, F]."""
     b = w.shape[0]
     fp = spec.n_features // b
+    spec_f = _folded_spec(spec, b)
+    l = spec_f.n_levels
     n = x.shape[0]
-    cot_full = _expand_cot(cot, w, spec.n_levels, fp)
-    idx, wgt = _prep(spec, x)
-    hf = (_r_max(spec) // _LANE) * spec.n_features
-    bn = _block_n_fact(hf)
+    idx, wgt = _prep(spec_f, x)
+    nc = idx.shape[1]
+    hfp = (_r_max(spec_f) // _LANE) * fp
+    rp = ((l * fp + 7) // 8) * 8
+    bn = _block_n_fact(hfp)
     pad = (-n) % bn
     if pad:
-        l = spec.n_levels
-        nc = idx.shape[1]
         idx = jnp.concatenate([idx, jnp.zeros((l, nc, pad), idx.dtype)], -1)
         wgt = jnp.concatenate([wgt, jnp.zeros((l, nc, pad), wgt.dtype)], -1)
-        cot_full = jnp.concatenate(
-            [cot_full, jnp.zeros((pad, cot_full.shape[1]), cot_full.dtype)], 0
+        cot = jnp.concatenate(
+            [cot, jnp.zeros((pad, cot.shape[1]), cot.dtype)], 0
         )
-    dpacked = _bwd_call_fact(spec, idx, wgt, cot_full.T, n + pad)
+    if rp > l * fp:
+        cot = jnp.concatenate(
+            [cot, jnp.zeros((cot.shape[0], rp - l * fp), cot.dtype)], 1
+        )
+    nb = idx.shape[2] // bn
+    dpacked = pl.pallas_call(
+        functools.partial(_bwd_kernel_fact_grouped, nc=nc, n_levels=l,
+                          f_out=fp),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((l * nc, bn), lambda bb: (0, bb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l * nc, bn), lambda bb: (0, bb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, bn), lambda bb: (0, bb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_LANE, l * hfp), lambda bb: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_LANE, l * hfp), jnp.float32),
+        interpret=_interpret(),
+    )(idx.reshape(l * nc, -1), wgt.reshape(l * nc, -1), cot.T)
+    # [128(lo), L*HF'] -> [L, 128, HF'] -> flat [rows, F']
+    dtab_f = _unpack_grad_fact(
+        spec_f,
+        dpacked.reshape(_LANE, l, hfp).transpose(1, 0, 2),
+    )
+    return jnp.einsum(
+        "rf,b->rbf", dtab_f, w, precision=jax.lax.Precision.HIGHEST
+    ).reshape(dtab_f.shape[0], b * fp)
+
+
+def _vjp_bwd_folded(spec, res, cot):
+    x, w = res
     # w (a function of t) is never differentiated in this framework — NaN-
     # poison like the coordinates so a future t-grad caller fails loudly.
-    return (_unpack_grad_fact(spec, dpacked), _poison_coord_grad(x, cot),
+    return (_folded_table_bwd(spec, x, w, cot), _poison_coord_grad(x, cot),
             _poison_like(w, cot))
 
 
@@ -832,29 +996,11 @@ def _vjp_fwd_multi_folded(spec, table, tables_ng, xs, ws):
 
 def _vjp_bwd_multi_folded(spec, res, cot):
     xs, ws, ng_shape = res
-    b = ws.shape[1]
-    fp = spec.n_features // b
-    x0 = xs[0]
-    n = x0.shape[0]
-    cot_full = _expand_cot(cot[0], ws[0], spec.n_levels, fp)
-    idx, wgt = _prep(spec, x0)
-    hf = (_r_max(spec) // _LANE) * spec.n_features
-    bn = _block_n_fact(hf)
-    pad = (-n) % bn
-    if pad:
-        l = spec.n_levels
-        nc = idx.shape[1]
-        idx = jnp.concatenate([idx, jnp.zeros((l, nc, pad), idx.dtype)], -1)
-        wgt = jnp.concatenate([wgt, jnp.zeros((l, nc, pad), wgt.dtype)], -1)
-        cot_full = jnp.concatenate(
-            [cot_full, jnp.zeros((pad, cot_full.shape[1]), cot_full.dtype)], 0
-        )
-    dpacked = _bwd_call_fact(spec, idx, wgt, cot_full.T, n + pad)
     # per-variant poison gates (see _vjp_bwd_multi)
     any_v = jnp.any(cot != 0.0, axis=(1, 2))  # [V]
     poison = jnp.where(any_v, jnp.nan, 0.0)
     return (
-        _unpack_grad_fact(spec, dpacked),
+        _folded_table_bwd(spec, xs[0], ws[0], cot[0]),
         jnp.zeros(ng_shape, jnp.float32),
         (poison[:, None, None] * jnp.ones_like(xs)).astype(xs.dtype),
         (poison[:, None] * jnp.ones_like(ws)).astype(ws.dtype),

@@ -378,6 +378,31 @@ def _lin_fwd_kernel(crd_ref, g_ref, out_ref):
     )  # [C, BN]
 
 
+def _lin_fwd_kernel_gather(crd_ref, g_ref, out_ref, *, w):
+    """Gather-form 1-D lookup for planes that fit ONE vreg (C = 8 sublanes,
+    Sp = 128 lanes): two single-vreg `take_along_axis` register gathers and
+    an f32 lerp replace the tent build + M=8 matmul (the r4 probes pinned
+    Mosaic's supported gather to exactly this [8, 128] shape). Exact f32 —
+    tighter than the bf16 matmul it replaces. `w` is the UNPADDED table
+    width (corner clamp bound)."""
+    bn = crd_ref.shape[2]
+    tab = g_ref[0]                                  # [8, 128] — one vreg
+    u = crd_ref[0, 0, :]                            # [BN], in [0, w-1]
+    j0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, w - 1)
+    j1 = jnp.minimum(j0 + 1, w - 1)
+    f = u - j0.astype(jnp.float32)
+    outs = []
+    for s in range(bn // _LANE):
+        sl = slice(s * _LANE, (s + 1) * _LANE)
+        i0 = jnp.broadcast_to(j0[sl][None, :], (8, _LANE))
+        i1 = jnp.broadcast_to(j1[sl][None, :], (8, _LANE))
+        g0 = jnp.take_along_axis(tab, i0, axis=1)
+        g1 = jnp.take_along_axis(tab, i1, axis=1)
+        ff = f[sl][None, :]
+        outs.append((1.0 - ff) * g0 + ff * g1)
+    out_ref[0] = jnp.concatenate(outs, axis=1)
+
+
 def _lin_bwd_kernel(crd_ref, g_ref, cot_ref, dg_ref, dt_ref):
     """Grid (P, NB), NB innermost. Blocks: crd [1, 1, BN]; g [1, C, Sp];
     cot [1, C, BN]; dg [1, C, Sp]; dt [1, 1, BN]."""
@@ -415,8 +440,10 @@ def _plane_linear_kernel(grid, x):
     npad = _pad_up(max(n, 1), _BN)
     if npad != n:
         u = jnp.pad(u, ((0, 0), (0, 0), (0, npad - n)))
+    kernel = (functools.partial(_lin_fwd_kernel_gather, w=w)
+              if (c == 8 and sp == _LANE) else _lin_fwd_kernel)
     out = pl.pallas_call(
-        _lin_fwd_kernel,
+        kernel,
         grid=(p, npad // _BN),
         in_specs=[
             pl.BlockSpec((1, 1, _BN), lambda pi, b: (pi, 0, b),
