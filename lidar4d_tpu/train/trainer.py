@@ -58,6 +58,11 @@ class Trainer:
         self.ema_decay = ema_decay
         self.eval_interval = eval_interval
         self.use_refine = True
+        # True once the U-Net has actually been trained in this state —
+        # in-process refine(), a refine-checkpoint load, or the refine
+        # overlay. Guards evaluate()/test() from masking outputs with a
+        # random-init refiner (see _resolve_use_refine).
+        self._refine_trained = False
 
         os.makedirs(workspace, exist_ok=True)
         self.log_path = os.path.join(workspace, f"log_{name}.txt")
@@ -513,8 +518,29 @@ class Trainer:
         ])
         cv2.imwrite(os.path.join(out_dir, f"{name}_{idx:04d}.png"), panel)
 
+    def _resolve_use_refine(self, refine):
+        """Downgrade a use_refine request when the U-Net was never trained.
+
+        Reference footgun this guards against (observed on ab5: CD 0.882 vs
+        the true 0.286): `--test_eval` after a `--train_only` run applies the
+        RANDOM-init U-Net as the raydrop mask (runner.py:413-416 has the same
+        behavior), silently poisoning every masked metric. The reference
+        only avoids it operationally because its `*_refine.pth` sorts last in
+        the checkpoint glob; when no refine checkpoint exists it has the same
+        hole. Here: warn loudly and evaluate unrefined instead."""
+        if refine and not self._refine_trained:
+            self.log(
+                "[WARN] use_refine requested but the U-Net has never been "
+                "trained (no refine stage ran, no refine checkpoint found) "
+                "— an untrained refiner masks depth/intensity with noise. "
+                "Evaluating with use_refine=False; run --refine first for "
+                "refined metrics."
+            )
+            return False
+        return refine
+
     def evaluate(self, dataset, name=None, refine=True):
-        self.use_refine = refine
+        self.use_refine = self._resolve_use_refine(refine)
         self.evaluate_one_epoch(dataset, name)
 
     # ------------------------------------------------------------------ test
@@ -528,7 +554,7 @@ class Trainer:
             name = f"{self.name}_ep{self.epoch:04d}"
         os.makedirs(save_path, exist_ok=True)
         self.log(f"==> Start Test, save results to {save_path}")
-        self.use_refine = refine
+        self.use_refine = self._resolve_use_refine(refine)
         params = self._eval_params()
 
         try:
@@ -631,6 +657,7 @@ class Trainer:
         params = dict(params)
         params["unet"] = new_unet
         self.state = self.state._replace(params=params)
+        self._refine_trained = True
         self.ckpt.save_refine(
             {"params": self.state.params, "epoch": self.epoch}, self.epoch
         )
@@ -694,6 +721,8 @@ class Trainer:
             )
             self.state = self.state._replace(params=tree["params"])
             self.epoch = int(tree.get("epoch", 0))
+            if path.endswith("_refine"):
+                self._refine_trained = True
             self.log("[INFO] loaded model (weights only).")
             return
         if model_only or which == "latest_model":
@@ -793,4 +822,5 @@ class Trainer:
         self.state = self.state._replace(
             params=tree["params"], ema=ema_init(tree["params"])
         )
+        self._refine_trained = True
         self.log(f"[INFO] overlaid refine checkpoint {newest} (EMA dropped).")

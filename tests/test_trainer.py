@@ -144,6 +144,29 @@ def test_refine_drops_ema(setup, tmp_path):
     got2 = jax.tree.leaves(ev2["unet"]["params"])[0]
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))
 
+    # both trainers now hold a trained refiner -> use_refine honored
+    assert trainer._refine_trained and t2._refine_trained
+    assert trainer._resolve_use_refine(True) is True
+
+
+def test_eval_downgrades_refine_when_unet_untrained(setup, tmp_path):
+    """`--test_eval` after a `--train_only` run (no refine stage, no refine
+    checkpoint) must NOT mask metrics with the random-init U-Net — observed
+    live on ab5: CD 0.882 refined-by-noise vs the true 0.286. The reference
+    has the same hole (runner.py:413-416); we downgrade with a loud WARN."""
+    opt, ds = setup
+    field = LiDAR4DField(build_model_config(opt))
+    trainer = Trainer(
+        "lidar4d", opt, field, build_loss_config(opt),
+        workspace=str(tmp_path / "ws_norefine"), lidar_metrics=[],
+        use_checkpoint="scratch", eval_interval=100,
+    )
+    assert not trainer._refine_trained
+    assert trainer._resolve_use_refine(True) is False   # downgraded
+    assert trainer._resolve_use_refine(False) is False  # explicit off stays off
+    trainer.evaluate(ds)  # e2e: must run unrefined, not crash
+    assert trainer.use_refine is False
+
 
 def test_trainer_builds_hierarchical_mesh_from_flags(setup, tmp_path):
     """--mesh dcn,ici + --num_hosts makes the Trainer train on the 2-axis
