@@ -100,6 +100,10 @@ def get_arg_parser(default_config="configs/kitti360_4950.txt"):
     p.add_argument("--time_resolution", type=int, default=8)
     p.add_argument("--n_levels_plane", type=int, default=4)
     p.add_argument("--n_features_per_level_plane", type=int, default=8)
+    # TPU extension: hash-compress the static planes of the top k scales
+    # (models/planes_field.py Planes4D.hash_scales; 0 = reference-dense)
+    p.add_argument("--plane_hash_scales", type=int, default=0)
+    p.add_argument("--plane_hash_log2", type=int, default=11)
     p.add_argument("--n_levels_hash", type=int, default=8)
     p.add_argument("--n_features_per_level_hash", type=int, default=4)
     p.add_argument("--log2_hashmap_size", type=int, default=19)
@@ -224,6 +228,8 @@ def build_model_config(opt):
         time_resolution=opt.time_resolution,
         n_levels_plane=opt.n_levels_plane,
         n_features_per_level_plane=opt.n_features_per_level_plane,
+        plane_hash_scales=opt.plane_hash_scales,
+        plane_hash_log2=opt.plane_hash_log2,
         n_levels_hash=opt.n_levels_hash,
         n_features_per_level_hash=opt.n_features_per_level_hash,
         log2_hashmap_size=opt.log2_hashmap_size,

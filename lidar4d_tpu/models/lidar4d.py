@@ -50,6 +50,11 @@ class LiDAR4DConfig:
     time_resolution: int = 8
     n_levels_plane: int = 4
     n_features_per_level_plane: int = 8
+    # hash-compress the static planes of the top k multiscale entries
+    # (Planes4D.hash_scales — the dense one-hot bilinear contraction costs
+    # ~C*H*W MACs/sample; PERF.md r4)
+    plane_hash_scales: int = 0
+    plane_hash_log2: int = 11
     n_levels_hash: int = 8
     n_features_per_level_hash: int = 4
     log2_hashmap_size: int = 19
@@ -99,6 +104,8 @@ class LiDAR4DField:
             output_dim=c.n_features_per_level_plane,
             resolution=(c.min_resolution,) * 3 + (c.time_resolution,),
             multiscale_res=tuple(2 ** n for n in range(c.n_levels_plane)),
+            hash_scales=c.plane_hash_scales,
+            hash_log2=c.plane_hash_log2,
         )
 
     @property

@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from lidar4d_tpu.ops.grid_sample import bilinear_corners, grid_sample_2d
+from lidar4d_tpu.ops.hash_enc import HashEncoderSpec
+from lidar4d_tpu.ops.hash_onehot import hash_encode_auto
 from lidar4d_tpu.ops.plane_onehot import plane_bilinear, plane_linear
 
 _COO_COMBS = tuple(combinations(range(4), 2))
@@ -35,6 +37,18 @@ class Planes4D:
     multiscale_res: tuple = (1, 2, 4, 8)
     a: float = 0.1
     b: float = 0.5
+    # Hash-compress the STATIC planes of the top `hash_scales` multiscale
+    # entries: a [2^hash_log2, C] spatial-hash table (NGP collision class)
+    # replaces the dense [C, H, W] plane. Rationale (PERF.md r4): the dense
+    # one-hot bilinear contraction costs ~C*H*W MACs PER SAMPLE — the 256^2
+    # top scale alone is ~1 MFLOP/sample and the planes-static block is
+    # ~22.9 ms of the ~102 ms step — while the factorized hash kernel's cost
+    # is table-size-independent on the VPU side. This is within the
+    # reference's own design language: its DYNAMIC field already stores 2D
+    # planes hash-compressed (model/hash_field.py:44-59, sizes 2^15/2^13).
+    # Time planes stay dense (1-D lookups are cheap). 0 = all dense.
+    hash_scales: int = 0
+    hash_log2: int = 11
 
     @property
     def n_output_dims(self) -> int:
@@ -45,12 +59,36 @@ class Planes4D:
         # multiscale applies to spatial axes only (planes_field.py:174-177)
         return tuple(r * scale for r in self.resolution[:3]) + self.resolution[3:]
 
+    def _static_hashed(self, scale_idx: int, reso) -> bool:
+        """Static planes of this scale use hashed storage: top `hash_scales`
+        entries, cubic spatial resolution (the hash spec is isotropic), and
+        only when hashing actually compresses (vertex grid > table)."""
+        if scale_idx < len(self.multiscale_res) - self.hash_scales:
+            return False
+        if len({reso[0], reso[1], reso[2]}) != 1:
+            return False
+        return reso[0] ** 2 > (1 << self.hash_log2)
+
+    def _hash_spec(self, size: int) -> HashEncoderSpec:
+        # base = size - 1 gives size vertices over [0, 1] — the hash
+        # encoder's corner grid matches the dense plane's align_corners
+        # pixel grid exactly (ops/hash_enc.py _level_indices clips to res)
+        return HashEncoderSpec(
+            n_dims=2,
+            n_levels=1,
+            n_features=self.output_dim,
+            log2_hashmap_size=self.hash_log2,
+            base_resolution=size - 1,
+            max_resolution=size - 1,
+        )
+
     def init(self, key):
         params = []
         keys = jax.random.split(key, len(self.multiscale_res) * len(_COO_COMBS))
         ki = 0
-        for scale in self.multiscale_res:
+        for si, scale in enumerate(self.multiscale_res):
             reso = self._scale_reso(scale)
+            hashed = self._static_hashed(si, reso)
             planes = []
             for comb in _COO_COMBS:
                 # stored [C, reso[c1], reso[c0]] so coord c0 indexes the last
@@ -58,6 +96,14 @@ class Planes4D:
                 shape = (self.output_dim, reso[comb[1]], reso[comb[0]])
                 if 3 in comb:
                     w = jnp.ones(shape, jnp.float32)
+                elif hashed:
+                    # hashed static plane: flat [rows, C] table, same U(a, b)
+                    # init so the 3-plane product prior is unchanged
+                    spec = self._hash_spec(reso[comb[0]])
+                    w = jax.random.uniform(
+                        keys[ki], (spec.n_rows, self.output_dim),
+                        jnp.float32, self.a, self.b,
+                    )
                 else:
                     w = jax.random.uniform(
                         keys[ki], shape, jnp.float32, self.a, self.b
@@ -84,9 +130,24 @@ class Planes4D:
         c_dim = self.output_dim
         use_kernel = jax.default_backend() != "cpu"
         outs = []
-        for planes in params:  # per scale
+        for si, planes in enumerate(params):  # per scale
             group = [planes[ci] for ci in comb_ids]
-            if use_kernel and len({g.shape for g in group}) == 1:
+            if group[0].ndim == 2:
+                # hashed static planes (see hash_scales): one 1-level 2D
+                # hash encode per plane — factorized one-hot/gather kernels
+                # on TPU, XLA gather on CPU. pts here are ray positions
+                # (never learned), matching coord_grad=False below; the
+                # one-hot kernels NaN-poison a coordinate cotangent, so a
+                # future differentiable caller fails loudly, not silently.
+                reso = self._scale_reso(self.multiscale_res[si])
+                acc = None
+                for comb, g in zip(combs, group):
+                    spec = self._hash_spec(reso[comb[0]])
+                    feat = hash_encode_auto(
+                        spec, g, jnp.clip(pts[:, list(comb)], 0.0, 1.0)
+                    ).T                                      # [C, N]
+                    acc = feat if acc is None else acc * feat
+            elif use_kernel and len({g.shape for g in group}) == 1:
                 g = jnp.stack(group)                                # [P, C, H, W]
                 pt = jnp.stack([pts[:, list(comb)] for comb in combs])
                 feats = plane_bilinear(g, pt, coord_grad=coord_grad)  # [P, C, N]

@@ -89,6 +89,71 @@ def test_planes4d_dims_and_time_init():
     assert np.isfinite(np.asarray(d)).all()
 
 
+def test_planes4d_hashed_static_scales():
+    """hash_scales=k replaces the top-k scales' STATIC planes with flat
+    [2^hash_log2, C] hash tables (PERF.md r4: the dense one-hot bilinear
+    costs ~C*H*W MACs/sample — the 256^2 scale dominates planes-static).
+    Dims, init range, gradient flow, and dynamic-path invariance."""
+    enc = Planes4D(resolution=(32, 32, 32, 8), multiscale_res=(1, 2, 4, 8),
+                   hash_scales=2, hash_log2=10)
+    assert enc.n_output_dims == 64  # unchanged by hashing
+    params = enc.init(jax.random.PRNGKey(0))
+    static_ids = [0, 1, 3]  # xy, xz, yz comb indices
+    for si, planes in enumerate(params):
+        for ci in range(6):
+            if ci in static_ids and si >= 2:  # top-2 scales hashed
+                assert planes[ci].shape == (1024, 8)
+                assert planes[ci].min() >= 0.1 and planes[ci].max() <= 0.5
+            elif ci in static_ids:
+                assert planes[ci].ndim == 3  # dense low scales
+            else:
+                np.testing.assert_array_equal(planes[ci], 1.0)  # time planes
+
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (17, 4))
+    s, d = enc(params, pts)
+    assert s.shape == (17, 32) and d.shape == (17, 32)
+    assert np.isfinite(np.asarray(s)).all()
+
+    # dynamic output identical to the all-dense encoder (same init key):
+    # hashing touches only static storage
+    dense = Planes4D(resolution=(32, 32, 32, 8), multiscale_res=(1, 2, 4, 8))
+    dparams = dense.init(jax.random.PRNGKey(0))
+    _, d_ref = dense(dparams, pts)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), rtol=1e-6)
+
+    # gradient reaches every hashed table
+    def loss(p):
+        return jnp.sum(enc.forward_static(p, pts) ** 2)
+
+    grads = jax.grad(loss)(params)
+    for si in (2, 3):
+        for ci in static_ids:
+            g = np.asarray(grads[si][ci])
+            assert g.shape == (1024, 8) and np.abs(g).sum() > 0
+
+
+def test_lidar4d_density_with_hashed_planes():
+    """End-to-end density + gradient through a field with plane_hash_scales."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, plane_hash_scales=1, plane_hash_log2=6)
+    field = LiDAR4DField(cfg)
+    params = field.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3), minval=-1, maxval=1)
+    out = field.density(params, x, 0.5)
+    assert out["sigma"].shape == (32,)
+    assert np.isfinite(np.asarray(out["sigma"])).all()
+
+    def loss(p):
+        o = field.density(p, x, 0.5)
+        return jnp.sum(o["sigma"]) + jnp.sum(o["geo_feat"] ** 2)
+
+    grads = jax.grad(loss)(params)
+    flat = jax.tree.leaves(jax.tree.map(
+        lambda g: np.isfinite(np.asarray(g)).all(), grads))
+    assert all(flat)
+
+
 def test_flow_field_near_zero_init():
     ff = FlowField(base_resolution=8, max_resolution=32, log2_hashmap_size=8)
     params = ff.init(jax.random.PRNGKey(0))
