@@ -98,6 +98,32 @@ def test_sharded_step_matches_single_device(setup):
         )
 
 
+def test_sharded_step_matches_single_device_plane_hash_scales(setup):
+    """The round-5 config-flip gate (CLAUDE.md invariant: per-sample encode
+    structure changes must pass strict sharded==unsharded): the
+    plane_hash_scales field — top static plane scales hash-compressed onto
+    the gather kernel — must reproduce unsharded params on the 8-device
+    mesh before the flagship config may enable it."""
+    import dataclasses
+
+    ds, field, loss_cfg, cache = setup
+    # top plane scale here is (min_resolution*2)^2 = 256 verts > 2^6 rows,
+    # so hashing engages; same eligibility shape as the flagship (1, 14) arm
+    cfg = dataclasses.replace(field.cfg, plane_hash_scales=1,
+                              plane_hash_log2=6)
+    f = LiDAR4DField(cfg)
+    state_1, metrics_1 = _run(f, loss_cfg, ds, cache, mesh=None, n_steps=2)
+    state_8, metrics_8 = _run(f, loss_cfg, ds, cache, mesh=make_mesh(8),
+                              n_steps=2)
+    np.testing.assert_allclose(
+        float(metrics_8["loss"]), float(metrics_1["loss"]), rtol=1e-4
+    )
+    for a, b in zip(jax.tree.leaves(state_1.params),
+                    jax.tree.leaves(state_8.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-6)
+
+
 def test_hierarchical_mesh_matches_single_device(setup):
     """(dcn=2, ici=4) pod layout: same params as unsharded after N steps."""
     from lidar4d_tpu.parallel.mesh import make_hierarchical_mesh
