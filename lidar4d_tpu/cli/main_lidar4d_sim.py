@@ -83,6 +83,19 @@ def get_sim_arg_parser():
     return p
 
 
+def apply_kitti2nus_preset(opt):
+    """KITTI-360 -> nuScenes sensor preset (main_lidar4d_sim.py:184-190):
+    fov [10, 40], 32x1024 grid, far 70 m, sensor lifted 0.1 m, no U-Net
+    refine (the refiner was trained on the 66x1030 KITTI grid)."""
+    opt.fov_lidar = [10.0, 40.0]
+    opt.H_lidar = 32
+    opt.W_lidar = 1024
+    opt.far_lidar = 70
+    opt.shift_z += 0.1 * opt.scale
+    opt.use_refine = False
+    return opt
+
+
 def _sequence_poses_times(opt):
     """Per-frame lidar2world + times for the sequence.
 
@@ -120,13 +133,7 @@ def main(argv=None):
     set_seed(opt.seed)
 
     if opt.kitti2nus:
-        # KITTI-360 -> nuScenes sensor preset (main_lidar4d_sim.py:184-190)
-        opt.fov_lidar = [10.0, 40.0]
-        opt.H_lidar = 32
-        opt.W_lidar = 1024
-        opt.far_lidar = 70
-        opt.shift_z += 0.1 * opt.scale
-        opt.use_refine = False
+        apply_kitti2nus_preset(opt)
 
     opt.near_lidar = opt.near_lidar * opt.scale
     opt.far_lidar = opt.far_lidar * opt.scale

@@ -118,8 +118,10 @@ def test_sharded_step_matches_single_device_plane_hash_scales(setup):
     np.testing.assert_allclose(
         float(metrics_8["loss"]), float(metrics_1["loss"]), rtol=1e-4
     )
-    for a, b in zip(jax.tree.leaves(state_1.params),
-                    jax.tree.leaves(state_8.params)):
+    flat_1, tree_def = jax.tree.flatten(state_1.params)
+    flat_8, tree_def8 = jax.tree.flatten(state_8.params)
+    assert tree_def == tree_def8
+    for a, b in zip(flat_1, flat_8):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=2e-6)
 
@@ -136,8 +138,10 @@ def test_hierarchical_mesh_matches_single_device(setup):
     np.testing.assert_allclose(
         float(metrics_h["loss"]), float(metrics_1["loss"]), rtol=1e-4
     )
-    for a, b in zip(jax.tree.leaves(state_1.params),
-                    jax.tree.leaves(state_h.params)):
+    flat_1, tree_def = jax.tree.flatten(state_1.params)
+    flat_h, tree_defh = jax.tree.flatten(state_h.params)
+    assert tree_def == tree_defh
+    for a, b in zip(flat_1, flat_h):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=2e-6)
 
