@@ -15,13 +15,16 @@ the motivation for the flagship design (README "TPU design notes").
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-`vs_baseline` divides by REF_RAYS_PER_SEC, a provisional estimate of the
+`vs_baseline` divides by REF_RAYS_PER_SEC, a derived estimate of the
 reference CUDA implementation's training throughput (the reference publishes
-no speed numbers — SURVEY.md §6): ~5 steps/s x 1024 rays on an A100-class
-GPU for tiny-cuda-nn hash-grid LiDAR-NeRF pipelines at this sample count.
-The estimate is uncertain to ~2x either way; REF_RAYS_PER_SEC_RANGE bounds
-it and `vs_baseline_range` in the JSON carries the resulting band, so the
-CUDA comparison can be bounded from the JSON alone.
+no speed numbers — SURVEY.md §6). The derivation ("PERF.md: Round 5 —
+reference-side baseline derivation") counts the reference step's encoder
+corner-reads / MLP flops / chamfer work from its source and brackets the
+step time with a roofline floor, a fused-tcnn throughput anchor, and an
+eager-pipeline tail: central ~7,000 rays/s (145 ms/step on the 4090/A100
+class). REF_RAYS_PER_SEC_RANGE spans the residual fused-vs-eager
+uncertainty and `vs_baseline_range` in the JSON carries the resulting band,
+so the CUDA comparison can be bounded from the JSON alone.
 
 The detail block also reports an analytic FLOP model of the step (see
 `flop_model`): `useful_gflops` counts the logical math (each table lookup at
@@ -40,8 +43,14 @@ import time
 
 import numpy as np
 
-REF_RAYS_PER_SEC = 5000.0
-REF_RAYS_PER_SEC_RANGE = (2500.0, 10000.0)  # ~2x uncertainty either way
+# Reference throughput denominator: derived component model of the CUDA
+# reference's step (encode-traffic op counts from the reference source x
+# published GPU-class characteristics, bracketed by a roofline floor, a
+# fused-tcnn throughput anchor, and an eager-pipeline tail) — see
+# "PERF.md: Round 5 — reference-side baseline derivation". Replaces the
+# r1-r4 flat 5,000 [2,500, 10,000] guess (which sat inside this band).
+REF_RAYS_PER_SEC = 7000.0
+REF_RAYS_PER_SEC_RANGE = (4000.0, 14000.0)
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 H, W, FRAMES = 66, 1030, 51
@@ -352,9 +361,12 @@ def main():
             "vs_baseline_range": [round(rays_per_sec / hi, 3),
                                   round(rays_per_sec / lo, 3)],
             "baseline_note": (
-                f"denominator {REF_RAYS_PER_SEC:.0f} rays/s is a provisional "
-                "estimate of the CUDA reference (publishes no speed numbers); "
-                f"range [{lo:.0f}, {hi:.0f}] bounds it ~2x either way"
+                f"denominator {REF_RAYS_PER_SEC:.0f} rays/s is a derived "
+                "component model of the CUDA reference's step (encode "
+                "traffic op counts x GPU-class throughputs; PERF.md r5 "
+                "baseline derivation — the reference publishes no speed "
+                f"numbers); range [{lo:.0f}, {hi:.0f}] spans the "
+                "fused-vs-eager efficiency band"
             ),
             "notes": (
                 "flagship hier 128+256 beats uniform-768 parity on converged "

@@ -360,6 +360,59 @@ def render_staged(field, params, rays_o, rays_d, t, num_steps=768, chunk=4096,
     return {"depth_lidar": depth, "image_lidar": image}
 
 
+@partial(jax.jit, static_argnames=("field", "num_steps", "chunk",
+                                   "num_coarse", "num_fine", "mesh"))
+def render_frames_staged(field, params, rays_o, rays_d, times, num_steps=768,
+                         chunk=16384, num_coarse=0, num_fine=0, mesh=None):
+    """Batched multi-frame inference render (the simulator's hot path).
+
+    rays_o/rays_d: [B, N, 3] full-frame ray grids, times: [B] in [0, 1].
+    Returns depth [B, N] and image [B, N, 2].
+
+    The reference simulator renders frame-by-frame through a Python loop of
+    staged chunks (model/simulator.py:103-144); here ALL frames' chunks are
+    stacked onto one mapped axis with a per-chunk scalar time riding along —
+    one compiled executable renders the whole trajectory with no host
+    round-trips between frames (VERDICT r4 #5: the frame-batched render
+    path). Time stays a per-chunk SCALAR under lax.map, so the scalar-t
+    table-collapse optimizations in the encoders apply unchanged.
+
+    One-hot/Pallas fields only — gather-path fields must use the host chunk
+    loop (see render_staged_host) until the lax.map gather fault is fixed
+    upstream (scripts/repro_laxmap_gather_fault.py).
+    """
+    from lidar4d_tpu.parallel.mesh import shard_rays
+
+    b, n = rays_o.shape[:2]
+    pad = (-n) % chunk
+    if pad:
+        rays_o = jnp.concatenate(
+            [rays_o, jnp.zeros((b, pad, 3), rays_o.dtype)], axis=1)
+        rays_d = jnp.concatenate(
+            [rays_d,
+             jnp.tile(jnp.asarray([[[1.0, 0.0, 0.0]]], rays_d.dtype),
+                      (b, pad, 1))], axis=1)
+    per_frame = rays_o.shape[1] // chunk
+    ro = rays_o.reshape(b * per_frame, chunk, 3)
+    rd = rays_d.reshape(b * per_frame, chunk, 3)
+    tc = jnp.repeat(jnp.asarray(times, jnp.float32), per_frame)
+
+    def one(args):
+        o, d, t = args
+        if mesh is not None:
+            o, d = shard_rays(mesh, o, d)
+        r = render_rays(
+            field, params, o, d, t, num_steps=num_steps, perturb=False,
+            with_aux=False, num_coarse=num_coarse, num_fine=num_fine,
+        )
+        return r["depth_lidar"], r["image_lidar"]
+
+    depth, image = jax.lax.map(one, (ro, rd, tc))
+    depth = depth.reshape(b, -1)[:, :n]
+    image = image.reshape(b, per_frame * chunk, -1)[:, :n]
+    return {"depth_lidar": depth, "image_lidar": image}
+
+
 @partial(jax.jit, static_argnames=("field", "num_steps", "num_coarse",
                                    "num_fine"))
 def _render_chunk(field, params, rays_o, rays_d, t, num_steps, num_coarse,

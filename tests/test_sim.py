@@ -213,3 +213,47 @@ def test_simulator_render_smoke(tmp_path):
     np.testing.assert_allclose(last, pc)
     assert last.ndim == 2 and last.shape[1] == 4  # xyz + intensity
     assert np.isfinite(last).all()
+
+
+def test_render_frames_staged_matches_per_frame():
+    """The batched trajectory render must equal per-frame render_staged
+    (same chunks, per-chunk scalar time) for every frame/time."""
+    import jax
+    import jax.numpy as jnp
+
+    from lidar4d_tpu.models.lidar4d import LiDAR4DConfig, LiDAR4DField
+    from lidar4d_tpu.models.renderer import render_frames_staged, render_staged
+
+    cfg = LiDAR4DConfig(
+        n_levels_hash=2, n_features_per_level_hash=4, log2_hashmap_size=8,
+        base_resolution=8, max_resolution=16, n_levels_plane=2,
+        min_resolution=8, flow_n_levels=2, flow_log2_hashmap_size=8,
+        flow_base_resolution=8, flow_max_resolution=16,
+        near_lidar=0.01, far_lidar=0.81, num_frames=4,
+        remat_density=False, density_chunk=0,
+    )
+    field = LiDAR4DField(cfg)
+    params = field.init(jax.random.PRNGKey(0))
+
+    H, W = 6, 20
+    poses = _random_rigid_poses(3, seed=11)
+    poses[:, :3, 3] *= 0.05
+    rays_o, rays_d = build_novel_rays(poses, H, W, (2.0, 26.9))
+    times = np.array([0.0, 0.4, 1.0], np.float32)
+
+    # chunk 64 -> H*W=120 pads to 2 chunks/frame (exercises the pad path)
+    batched = render_frames_staged(
+        field, params, jnp.asarray(rays_o), jnp.asarray(rays_d),
+        jnp.asarray(times), num_steps=16, chunk=64,
+    )
+    for i in range(3):
+        ref = render_staged(
+            field, params, jnp.asarray(rays_o[i]), jnp.asarray(rays_d[i]),
+            jnp.float32(times[i]), num_steps=16, chunk=64,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched["depth_lidar"][i]),
+            np.asarray(ref["depth_lidar"]), rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(
+            np.asarray(batched["image_lidar"][i]),
+            np.asarray(ref["image_lidar"]), rtol=2e-5, atol=2e-6)
