@@ -145,6 +145,13 @@ def get_arg_parser(default_config="configs/kitti360_4950.txt"):
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--fp16", type=bool, default=True)  # bf16 on TPU
     p.add_argument("--eval_interval", type=int, default=100)
+    # framework extension (no reference analogue — the reference saves every
+    # epoch, runner.py's train loop): save the full-state epoch checkpoint
+    # every N epochs (always at the final epoch). On the tunneled v5e the
+    # per-epoch save is ~13 s of device->host transfer vs a ~4 s step loop
+    # (PERF.md r5), so long schedules set this to 5-10; crash-resume then
+    # loses at most N-1 epochs. Best/eval checkpoints are unaffected.
+    p.add_argument("--ckpt_interval", type=int, default=1)
     p.add_argument("--ckpt", type=str, default="latest")
     p.add_argument("--num_rays_lidar", type=int, default=1024)
     p.add_argument("--num_steps", type=int, default=768)

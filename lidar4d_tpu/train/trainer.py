@@ -225,7 +225,14 @@ class Trainer:
                 patch = 1
             self.train_one_epoch(train_ds, patch)
 
-            self.save_checkpoint()
+            # Epoch checkpoints every ckpt_interval epochs (default 1 =
+            # reference cadence, runner.py saves each epoch); the final
+            # epoch always saves so refine/test resume from a complete
+            # state. The ~13 s/save device->host transfer dominates epoch
+            # wall time on the tunneled chip (PERF.md r5).
+            ckpt_every = max(1, int(getattr(self.opt, "ckpt_interval", 1)))
+            if epoch % ckpt_every == 0 or epoch == max_epochs:
+                self.save_checkpoint()
 
             if epoch % self.eval_interval == 0:
                 self.use_refine = False

@@ -1,8 +1,9 @@
-"""Round-5 probe, part C — in-step ablation attribution ON the (2,11)
-plane_hash_scales config (the r5a on-chip winner: 88.9 ms vs 101.5-102.1
-dense). Re-runs the r4d component ablation with the top two static plane
-scales hash-compressed so the NEXT lever is chosen from fresh attribution,
-not the stale dense-planes table.
+"""Round-5 probe, part C — in-step ablation attribution ON the winning
+plane_hash_scales config (default (1,12), the converged-gate winner:
+91.7 ms probe / 11.5k rays/s in-run vs 101.5-102.8 dense; override with
+PHASH=k,b). Re-runs the r4d component ablation with the hashed static
+plane scale(s) in place so the NEXT lever is chosen from fresh
+attribution, not the stale dense-planes table.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/perf_probe_r5c.py
 """
@@ -34,6 +35,9 @@ def main():
                           num_frames=bench.FRAMES, iters=30000)
     opt_cfg = (loss_cfg, scale)
 
+    import os
+
+    k, b = (int(v) for v in os.environ.get("PHASH", "1,12").split(","))
     cfg = LiDAR4DConfig(
         num_frames=bench.FRAMES, near_lidar=1.0 * scale,
         far_lidar=81.0 * scale,
@@ -42,10 +46,11 @@ def main():
         hash_size_dynamic=(11, 10, 10),
         flow_n_levels=4, flow_n_features=8, flow_log2_hashmap_size=11,
         flow_base_resolution=16, flow_max_resolution=256,
-        plane_hash_scales=2, plane_hash_log2=11,
+        plane_hash_scales=k, plane_hash_log2=b,
         remat_density=False, density_chunk=0,
     )
     field = LiDAR4DField(cfg)
+    phash_label = f"({k},{b})"
 
     orig = {
         "hash_static": HashGrid4D.forward_static,
@@ -83,7 +88,8 @@ def main():
     def stub_flow(self, params, x, t):
         return stub_like(x, (x.shape[0], 6))
 
-    base = time_step("base (2,11) 128+256", field, opt_cfg, frames, cache)
+    base = time_step(f"base {phash_label} 128+256", field, opt_cfg, frames,
+                     cache)
 
     Planes4D.forward_static = stub_planes_static
     time_step("no planes_static", field, opt_cfg, frames, cache)

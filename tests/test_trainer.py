@@ -73,6 +73,42 @@ def test_trainer_train_checkpoint_resume(setup, tmp_path):
     np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
+def test_ckpt_interval_skips_intermediate_epochs(setup, tmp_path):
+    """ckpt_interval=2 over 3 epochs saves ep2 (interval) and ep3 (final),
+    never ep1 — the per-epoch full-state save is ~13 s of device->host
+    transfer on the tunneled chip (PERF.md r5), so long schedules thin it."""
+    opt, ds = setup
+    import copy
+
+    opt2 = copy.copy(opt)
+    opt2.ckpt_interval = 2
+    ws = str(tmp_path / "ws_interval")
+    field = LiDAR4DField(build_model_config(opt2))
+    trainer = Trainer(
+        "lidar4d", opt2, field, build_loss_config(opt2), workspace=ws,
+        lidar_metrics=[], use_checkpoint="scratch", eval_interval=100,
+    )
+    saved_epochs = []
+    orig_save = trainer.ckpt.save_epoch
+
+    def spy(tree, epoch, **kw):
+        saved_epochs.append(epoch)
+        return orig_save(tree, epoch, **kw)
+
+    trainer.ckpt.save_epoch = spy
+    trainer.train(ds, ds, ds, max_epochs=3, run_refine=False)
+    assert saved_epochs == [2, 3]  # ep1 skipped; final epoch always saved
+    # max_keep=1 leaves only the newest epoch dir on disk
+    assert sorted(os.listdir(trainer.ckpt.ckpt_dir)) == ["lidar4d_ep0003"]
+
+    # resume still lands on the final epoch
+    t2 = Trainer(
+        "lidar4d", opt2, field, build_loss_config(opt2), workspace=ws,
+        lidar_metrics=[], use_checkpoint="latest", eval_interval=100,
+    )
+    assert t2.epoch == 3
+
+
 def test_latest_path_skips_inflight_orbax_tmp(tmp_path):
     """A concurrent (or killed) writer leaves `*.orbax-checkpoint-tmp` dirs;
     resolving 'latest' onto one raises 'Found incomplete checkpoint' (hit
