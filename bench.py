@@ -264,6 +264,10 @@ def main():
             hash_size_dynamic=(11, 10, 10),
             flow_n_levels=4, flow_n_features=8, flow_log2_hashmap_size=11,
             flow_base_resolution=16, flow_max_resolution=256,
+            # r5 flip: 256^2 static plane hash-compressed to 2^11 rows —
+            # -12.2 ms/step at BETTER converged quality (CD 0.1626 vs
+            # 0.1810, runs/ab6_conf_phash111; PERF.md r5d).
+            plane_hash_scales=1, plane_hash_log2=11,
             remat_density=False, density_chunk=0,
         )
     field = LiDAR4DField(cfg)
