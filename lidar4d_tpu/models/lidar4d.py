@@ -229,8 +229,11 @@ class LiDAR4DField:
                 params["hash"], xs, ts
             )
             hash_d, hash_d1, hash_d2 = hd[0], hd[1], hd[2]
+            # coord_grad_lead=1: variant 0's coordinate grads die at the ray
+            # geometry; the warped variants keep theirs (the flow net's only
+            # grad path through planes — reference lidar4d.py:161-173)
             pd = self.planes_encoder.forward_dynamic_scalar_t_multi(
-                params["planes"], xs, ts
+                params["planes"], xs, ts, coord_grad_lead=1
             )
             plane_d, plane_d1, plane_d2 = pd[0], pd[1], pd[2]
 

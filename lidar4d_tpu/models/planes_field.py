@@ -217,7 +217,8 @@ class Planes4D:
             outs.append(feats[0] * feats[1] * feats[2])   # [N, C]
         return jnp.concatenate(outs, axis=-1).reshape(n, len(params) * c_dim)
 
-    def forward_dynamic_scalar_t_multi(self, params, xyzs, ts):
+    def forward_dynamic_scalar_t_multi(self, params, xyzs, ts,
+                                       coord_grad_lead=0):
         """Fused dynamic features for V time variants in one sweep per scale.
 
         The density query's flow-warp aggregation (lidar4d.density) evaluates
@@ -231,6 +232,14 @@ class Planes4D:
         Args:
           xyzs: [V, N, 3] spatial coords in [0, 1] (variants may be warped).
           ts:   [V] scalar times in [0, 1] (clip handled here).
+          coord_grad_lead (static): the first `coord_grad_lead` VARIANTS get
+            zero coordinate gradients and skip that half of the backward
+            kernel. lidar4d.density passes 1: variant 0's coords are raw ray
+            positions whose cotangent dies at the (non-learned) ray geometry,
+            while the warped variants keep full coordinate grads — they are
+            the flow net's only gradient path through the plane features
+            (reference lidar4d.py:161-173; only the HASH neighbors sit under
+            torch.no_grad()). Table gradients are unaffected.
         Returns:
           [V, N, output_dim * n_scales].
         """
@@ -251,7 +260,8 @@ class Planes4D:
             g_red = (1.0 - ty) * jnp.take(g, y0, axis=2).transpose(2, 0, 1, 3) \
                 + ty * jnp.take(g, y1, axis=2).transpose(2, 0, 1, 3)     # [V, 3, C, S]
             feats = plane_linear(
-                g_red.reshape(v * 3, c_dim, g.shape[3]), xs
+                g_red.reshape(v * 3, c_dim, g.shape[3]), xs,
+                coord_grad_lead=3 * coord_grad_lead,  # variant-major P axis
             ).reshape(v, 3, n, c_dim)
             outs.append(feats[:, 0] * feats[:, 1] * feats[:, 2])         # [V, N, C]
         return jnp.concatenate(outs, axis=-1).reshape(

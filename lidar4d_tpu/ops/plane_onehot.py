@@ -403,34 +403,60 @@ def _lin_fwd_kernel_gather(crd_ref, g_ref, out_ref, *, w):
     out_ref[0] = jnp.concatenate(outs, axis=1)
 
 
-def _lin_bwd_kernel(crd_ref, g_ref, cot_ref, dg_ref, dt_ref):
+def _lin_bwd_kernel(crd_ref, g_ref, cot_ref, dg_ref, dt_ref, *, lead=0,
+                    n_planes=1):
     """Grid (P, NB), NB innermost. Blocks: crd [1, 1, BN]; g [1, C, Sp];
-    cot [1, C, BN]; dg [1, C, Sp]; dt [1, 1, BN]."""
+    cot [1, C, BN]; dg [1, C, Sp]; dt [1, 1, BN].
+
+    `lead` (static): the first `lead` planes of the P axis skip the
+    coordinate-gradient half (the [Sp, BN] g^T@cot matmul + tent-derivative
+    contraction — roughly half the kernel's MACs) and write dt = 0. Used for
+    planes whose lookup coordinates are raw ray positions (never learned):
+    their dx lands in a dead cotangent, but XLA cannot DCE work inside an
+    opaque pallas call, so the skip must live here. Table gradients are
+    computed identically for every plane."""
+    pi = pl.program_id(0)
     b = pl.program_id(1)
     bn = crd_ref.shape[2]
     c, sp = g_ref.shape[1], g_ref.shape[2]
+    no_d = lead >= n_planes  # static: no plane needs a coordinate grad
 
     @pl.when(b == 0)
     def _zero():
         dg_ref[0] = jnp.zeros((c, sp), jnp.float32)
 
-    oht, ohdt = _tent_t(crd_ref[0, 0, :], sp, bn, want_d=True)
+    oht, ohdt = _tent_t(crd_ref[0, 0, :], sp, bn, want_d=not no_d)
     cot = cot_ref[0]                                    # [C, BN] f32
     # table gradient: cot @ tent^T, accumulated over point blocks
     dg_ref[0] = dg_ref[0] + jax.lax.dot_general(
         cot.astype(jnp.bfloat16), oht, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    # coordinate gradient: sum_s (g^T cot)[s, n] * dtent[s, n]
-    m = jax.lax.dot_general(
-        g_ref[0].astype(jnp.bfloat16), cot.astype(jnp.bfloat16),
-        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )  # [Sp, BN]
-    dt_ref[0, 0, :] = jnp.sum(m * ohdt.astype(jnp.float32), axis=0)
+
+    if no_d:
+        dt_ref[0, 0, :] = jnp.zeros((bn,), jnp.float32)
+        return
+
+    def _coord_grad():
+        # coordinate gradient: sum_s (g^T cot)[s, n] * dtent[s, n]
+        m = jax.lax.dot_general(
+            g_ref[0].astype(jnp.bfloat16), cot.astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # [Sp, BN]
+        dt_ref[0, 0, :] = jnp.sum(m * ohdt.astype(jnp.float32), axis=0)
+
+    if lead == 0:
+        _coord_grad()
+    else:
+        pl.when(pi >= lead)(_coord_grad)
+
+        @pl.when(pi < lead)
+        def _():
+            dt_ref[0, 0, :] = jnp.zeros((bn,), jnp.float32)
 
 
-@jax.custom_vjp
-def _plane_linear_kernel(grid, x):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _plane_linear_kernel_lead(coord_grad_lead, grid, x):
     p, c, w = grid.shape
     n = x.shape[1]
     sp = max(_pad_up(w, _LANE), _LANE)
@@ -459,11 +485,11 @@ def _plane_linear_kernel(grid, x):
     return out[:, :, :n].transpose(0, 2, 1)  # [P, N, C]
 
 
-def _lin_vjp_fwd(grid, x):
-    return _plane_linear_kernel(grid, x), (grid, x)
+def _lin_vjp_fwd(coord_grad_lead, grid, x):
+    return _plane_linear_kernel_lead(coord_grad_lead, grid, x), (grid, x)
 
 
-def _lin_vjp_bwd(res, cot):
+def _lin_vjp_bwd(coord_grad_lead, res, cot):
     grid, x = res
     p, c, w = grid.shape
     n = x.shape[1]
@@ -476,7 +502,8 @@ def _lin_vjp_bwd(res, cot):
         u = jnp.pad(u, ((0, 0), (0, 0), (0, npad - n)))
         cot_t = jnp.pad(cot_t, ((0, 0), (0, 0), (0, npad - n)))
     dg, dt = pl.pallas_call(
-        _lin_bwd_kernel,
+        functools.partial(_lin_bwd_kernel, lead=min(coord_grad_lead, p),
+                          n_planes=p),
         grid=(p, npad // _BN),
         in_specs=[
             pl.BlockSpec((1, 1, _BN), lambda pi, b: (pi, 0, b),
@@ -503,10 +530,15 @@ def _lin_vjp_bwd(res, cot):
     return dg[:, :, :w], dx
 
 
-_plane_linear_kernel.defvjp(_lin_vjp_fwd, _lin_vjp_bwd)
+_plane_linear_kernel_lead.defvjp(_lin_vjp_fwd, _lin_vjp_bwd)
 
 
-def plane_linear(grid, x):
+def _plane_linear_kernel(grid, x):
+    # lead=0 alias (full coordinate gradients) — the historical entry point
+    return _plane_linear_kernel_lead(0, grid, x)
+
+
+def plane_linear(grid, x, coord_grad_lead=0):
     """Linear-interpolate P 1-D feature tables at P coordinate sets.
 
     grid [P, C, W] f32, x [P, N] in [0, 1] -> [P, N, C] f32. Differentiable
@@ -514,7 +546,21 @@ def plane_linear(grid, x):
     [0, 1]). Dispatches to a Pallas kernel on TPU (tent one-hot stays in
     VMEM; the XLA form round-trips a [P, N, W] bf16 operand through HBM)
     when C fills the 8-sublane tile; XLA path elsewhere.
+
+    coord_grad_lead (static): the first `coord_grad_lead` planes get a ZERO
+    coordinate gradient and skip its computation in the backward kernel.
+    Only pass it for planes whose coordinates are raw ray positions (never
+    learned — e.g. the unwarped variant of the dynamic-plane sweep, whose dx
+    dies at the ray geometry): the skip is silent zeroing, not the loud
+    NaN-poison of the tables-only paths. Table gradients are unaffected.
     """
+    lead = min(coord_grad_lead, grid.shape[0])
     if _interpret() or grid.shape[1] % 8 != 0:
+        if lead:
+            # match the kernel's dead-coordinate contract on the XLA path so
+            # CPU tests exercise identical gradient structure
+            x = jnp.concatenate(
+                [jax.lax.stop_gradient(x[:lead]), x[lead:]], axis=0
+            )
         return plane_linear_ref(grid, x)
-    return _plane_linear_kernel(grid, x)
+    return _plane_linear_kernel_lead(lead, grid, x)

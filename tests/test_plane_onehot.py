@@ -249,3 +249,62 @@ def test_plane_linear_kernel_matches_ref():
             s = max(float(jnp.abs(b).max()), 1e-6)
             np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
                                        rtol=5e-2, atol=5e-2)
+
+
+def test_plane_linear_kernel_coord_grad_lead():
+    """coord_grad_lead skips (zeros) the coordinate grad of the first k
+    planes but leaves every table gradient and the trailing planes' dx
+    bit-identical to the full-gradient kernel (the skipped work is dead code
+    for its callers — the gate must not perturb the live halves)."""
+    from lidar4d_tpu.ops.plane_onehot import _plane_linear_kernel_lead
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    grid = jax.random.normal(k1, (6, 8, 128), jnp.float32)
+    x = jax.random.uniform(k2, (6, 173), jnp.float32, -0.1, 1.1)
+    cot = jax.random.normal(jax.random.PRNGKey(3), (6, 173, 8))
+
+    out_full = _plane_linear_kernel_lead(0, grid, x)
+    dg_full, dx_full = jax.grad(
+        lambda g, xx: jnp.sum(_plane_linear_kernel_lead(0, g, xx) * cot),
+        argnums=(0, 1))(grid, x)
+
+    for lead in (3, 6):
+        out = _plane_linear_kernel_lead(lead, grid, x)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out_full))
+        dg, dx = jax.grad(
+            lambda g, xx: jnp.sum(
+                _plane_linear_kernel_lead(lead, g, xx) * cot
+            ),
+            argnums=(0, 1))(grid, x)
+        np.testing.assert_array_equal(np.asarray(dg), np.asarray(dg_full))
+        np.testing.assert_array_equal(np.asarray(dx[:lead]), 0.0)
+        np.testing.assert_array_equal(np.asarray(dx[lead:]),
+                                      np.asarray(dx_full[lead:]))
+
+
+def test_planes4d_dynamic_multi_coord_grad_lead():
+    """Model-level lead: coord_grad_lead=1 zeroes variant 0's coordinate
+    grads only; table grads and warped-variant dx match the full path
+    (both CPU/XLA and the kernel honor the same contract)."""
+    from lidar4d_tpu.models.planes_field import Planes4D
+
+    enc = Planes4D(output_dim=8, resolution=(16, 16, 16, 8),
+                   multiscale_res=(1, 2))
+    params = enc.init(jax.random.PRNGKey(0))
+    xyzs = jax.random.uniform(jax.random.PRNGKey(2), (3, 97, 3), jnp.float32)
+    ts = jnp.asarray([0.4, 0.47, 0.33], jnp.float32)
+
+    def loss(p, xs, lead):
+        return jnp.sum(
+            enc.forward_dynamic_scalar_t_multi(p, xs, ts,
+                                               coord_grad_lead=lead) ** 2
+        )
+
+    dg0, dx0 = jax.grad(lambda p, xs: loss(p, xs, 0), argnums=(0, 1))(
+        params, xyzs)
+    dg1, dx1 = jax.grad(lambda p, xs: loss(p, xs, 1), argnums=(0, 1))(
+        params, xyzs)
+    for a, b in zip(jax.tree.leaves(dg0), jax.tree.leaves(dg1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(dx1[0]), 0.0)
+    np.testing.assert_array_equal(np.asarray(dx1[1:]), np.asarray(dx0[1:]))
